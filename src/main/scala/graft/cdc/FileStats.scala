@@ -1,0 +1,41 @@
+package graft.cdc
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+
+/** Driver-side parquet-footer statistics: per-file row count and min/max
+  * `_lsn` for the manifest (file-skipping metadata), read from block
+  * metadata — no Spark job, O(files) footer reads.
+  */
+object FileStats {
+
+  def entries(spark: SparkSession, files: Seq[(String, Int)], schemaId: Int): Seq[FileEntry] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { case (path, bucket) =>
+      val (rows, minLsn, maxLsn) = Try {
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(path), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          val rows = blocks.map(_.getRowCount).sum
+          val lsnStats = blocks.flatMap { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == Model.LsnCol)
+              .map(_.getStatistics)
+              .filter(s => s != null && s.hasNonNullValue)
+          }
+          val mins = lsnStats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue)
+          val maxs = lsnStats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+          (rows,
+            if (mins.nonEmpty) mins.min else Long.MinValue,
+            if (maxs.nonEmpty) maxs.max else Long.MaxValue)
+        } finally reader.close()
+      }.getOrElse((-1L, Long.MinValue, Long.MaxValue))
+      FileEntry(path, bucket, schemaId, minLsn, maxLsn, rows)
+    }
+  }
+}

@@ -1,0 +1,115 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming ingest: tail the ordered file-based changelog and
+  * apply each micro-batch as a fenced MERGE (SURVEY.md §7.2 step 4). This
+  * is the Spark-native replacement for the reference's Airflow sync +
+  * Snowflake COPY + dbt merge loop (nyc_taxi_sync_dag.py:36-57) and its
+  * Kafka→foreachBatch→Redis path (fraud_detector.py:195-310), with the
+  * two structural fixes: aggregation stays distributed, and state/metrics
+  * commit atomically with the data (exactly-once instead of
+  * at-least-once).
+  *
+  * Resumability: the streaming checkpoint persists source offsets
+  * (which log files are consumed); the table manifest persists the
+  * (queryId, epochId) fence. After a crash the source replays at most the
+  * in-flight epoch, which the fence absorbs — `final state == fold(log)`
+  * regardless of where the kill landed.
+  *
+  * Source contract (WAL/binlog semantics): events of one source partition
+  * arrive in non-decreasing LSN order across micro-batches (within a batch
+  * any order is fine — dedup is order-insensitive). The file changelog
+  * encodes arrival order as file modification time, which FileStreamSource
+  * honors. Re-deliveries (lsn ≤ applied watermark) are always safe.
+  * Arbitrarily re-ordered *fresh* events across batches would require
+  * delete tombstone retention, which this engine intentionally trades away
+  * (SURVEY.md §2.9: the reference's Kafka source gives the same
+  * per-partition ordering guarantee).
+  */
+object IngestJob {
+
+  case class Config(
+      logDir: String,
+      tableDir: String,
+      checkpointDir: String,
+      queryId: String = "cdc-ingest",
+      numBuckets: Int = 16,
+      maxFilesPerTrigger: Option[Int] = None,
+      availableNow: Boolean = true,
+      processingTime: String = "5 seconds",
+      schema: StructType = Model.changeEventSchema,
+      quarantineDir: Option[String] = None,
+      saltBuckets: Int = 64)
+
+  /** Row-level validity predicate — the reference's ON_ERROR='CONTINUE'
+    * COPY tolerance (nyc_taxi_sync_dag.py:47) and pydantic wire validation
+    * (streaming/api/schemas.py:8-34) re-expressed as a quarantine split:
+    * invalid rows are diverted, never dropped silently, never poison the
+    * table (dbt tests not_null/in_range/positive_value analog,
+    * FIXTURES.md §2).
+    */
+  def validExpr(df: DataFrame): org.apache.spark.sql.Column = {
+    val hasTok = df.columns.contains("tokens")
+    val base = col("doc_id").isNotNull &&
+      col("lsn").isNotNull && col("partition").isNotNull &&
+      col("op").isin(Model.OpInsert, Model.OpUpdate, Model.OpDelete)
+    val payloadOk = if (hasTok) {
+      (col("op") === Model.OpDelete) ||
+        (col("tokens").isNotNull && col("n_tok").isNotNull && col("source").isNotNull &&
+          col("n_tok") === size(col("tokens")) &&
+          col("n_tok").between(1, 8192))
+    } else lit(true)
+    base && payloadOk
+  }
+
+  /** Start the streaming ingest; caller awaits termination (AvailableNow)
+    * or manages the query lifecycle (ProcessingTime).
+    */
+  def start(spark: SparkSession, cfg: Config): StreamingQuery = {
+    val table = new SnapshotTable(cfg.tableDir, cfg.numBuckets)
+    if (!table.exists) {
+      val payload = StructType(
+        cfg.schema.fields.filterNot(f => Model.metaCols.contains(f.name.toLowerCase)))
+      table.init(payload, cfg.numBuckets)
+    }
+
+    var reader = spark.readStream.schema(cfg.schema)
+    cfg.maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(cfg.logDir)
+
+    val applyBatch: (Dataset[Row], Long) => Unit = { (batch, epochId) =>
+      val valid = batch.filter(validExpr(batch))
+      cfg.quarantineDir.foreach { qd =>
+        // Epoch-suffixed dir: a replayed epoch overwrites its own quarantine
+        // output instead of double-appending (idempotent side channel).
+        batch.filter(!validExpr(batch))
+          .write.mode("overwrite").parquet(s"$qd/epoch=$epochId")
+      }
+      MergeEngine.merge(spark, table, valid, cfg.queryId, epochId, cfg.saltBuckets)
+      ()
+    }
+
+    val writer = stream.writeStream
+      .queryName(cfg.queryId)
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(
+        if (cfg.availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(cfg.processingTime))
+      .foreachBatch(applyBatch)
+
+    writer.start()
+  }
+
+  /** Convenience: replay the whole log to completion (AvailableNow) and
+    * return the resulting table.
+    */
+  def replay(spark: SparkSession, cfg: Config): SnapshotTable = {
+    val q = start(spark, cfg.copy(availableNow = true))
+    q.awaitTermination()
+    new SnapshotTable(cfg.tableDir, cfg.numBuckets)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+
+/** Canonical entities of the CDC engine (SURVEY.md §1.3).
+  *
+  * `TokenDoc` is the snapshot-table row shape pinned by BASELINE.json's
+  * input_hint: (doc_id string, tokens array<int32>, n_tok int32, source
+  * string). `ChangeEvent` is the ordered change-log record: `op` mirrors the
+  * reference's event classes (bulk COPY insert — airflow/dags/
+  * nyc_taxi_sync_dag.py:42-47; dbt MERGE update-or-insert —
+  * nyc_taxi_dbt/models/marts/core/fct_trips.sql:2-4; voided rows —
+  * dim_payment_types.sql:10 → delete). `lsn` generalizes the monotone
+  * monthly-file sequence (sync_manager.py:33-36); `partition` generalizes
+  * the Kafka key routing (kafka_producer.py:44).
+  *
+  * Fold semantics (the oracle): events applied in global `lsn` order;
+  * 'I' and 'U' both upsert (idempotent MERGE, like the reference's
+  * update-or-insert), 'D' removes (no-op if absent).
+  */
+object Model {
+
+  val OpInsert = "I"
+  val OpUpdate = "U"
+  val OpDelete = "D"
+
+  /** Snapshot-table user schema. */
+  val tokenDocSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("source", StringType, nullable = false)))
+
+  /** Change-log record schema (v1). */
+  val changeEventSchema: StructType = StructType(Seq(
+    StructField("lsn", LongType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("doc_id", StringType, nullable = false),
+    StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = true),
+    StructField("n_tok", IntegerType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("ts", TimestampType, nullable = true)))
+
+  /** Internal column carrying the last-applied LSN per row inside snapshot
+    * data files — the reconcile key for idempotent re-application.
+    */
+  val LsnCol = "_lsn"
+
+  /** Columns that are engine metadata, not payload. */
+  val metaCols: Set[String] = Set("lsn", "partition", "op", "ts", LsnCol)
+}
+
+case class TokenDoc(doc_id: String, tokens: Array[Int], n_tok: Int, source: String)
+
+case class ChangeEvent(
+    lsn: Long,
+    partition: Int,
+    op: String,
+    doc_id: String,
+    tokens: Array[Int],
+    n_tok: Int,
+    source: String,
+    ts: java.sql.Timestamp)

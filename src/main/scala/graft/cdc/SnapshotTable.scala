@@ -1,0 +1,204 @@
+package graft.cdc
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Snapshot-based lake table ("mini-Iceberg" — no Iceberg jar ships in
+  * /opt/spark/jars, so the manifest/snapshot layer is implemented directly;
+  * SURVEY.md §4.3). Layout:
+  *
+  * {{{
+  * root/
+  *   _current                 -- text file holding the live manifest version
+  *   manifests/v<version>.json
+  *   data/v<version>/_bucket=<b>/part-*.parquet   -- immutable once committed
+  * }}}
+  *
+  * Commit protocol: write all data files and the manifest for version v+1,
+  * then atomically swap `_current` (write `_current.tmp`, ATOMIC_MOVE over
+  * `_current`). Readers resolve `_current` → manifest → file list, so they
+  * only ever observe whole, committed snapshots — the linearization point
+  * is the single rename, mirroring the reference's implicit reliance on
+  * Snowflake's atomic MERGE (fct_trips.sql:1-13). Single-writer by design;
+  * replayed writers are fenced by (queryId, epochId) in [[Manifest.fences]].
+  *
+  * Scale note: a snapshot is O(files) metadata on the driver; data stays in
+  * executors. Bucket count sizes the rewrite granularity — at 100 TB you
+  * run thousands of buckets so a MERGE touches only the buckets its keys
+  * hash to; locally we default to 16.
+  */
+class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16) {
+  private val rootPath: Path = Paths.get(root)
+  private def currentPtr: Path = rootPath.resolve("_current")
+  private def manifestPath(v: Long): Path = rootPath.resolve(s"manifests/v$v.json")
+  def dataDir(v: Long): Path = rootPath.resolve(s"data/v$v")
+
+  def exists: Boolean = Files.exists(currentPtr)
+
+  def currentVersion: Option[Long] =
+    if (!exists) None
+    else Some(new String(Files.readAllBytes(currentPtr), StandardCharsets.UTF_8).trim.toLong)
+
+  def manifest: Option[Manifest] = currentVersion.map { v =>
+    Manifest.fromJson(new String(Files.readAllBytes(manifestPath(v)), StandardCharsets.UTF_8))
+  }
+
+  def schema: Option[StructType] =
+    manifest.map(m => DataType.fromJson(m.currentSchemaJson).asInstanceOf[StructType])
+
+  /** Create an empty table at version 0 with the given user schema. */
+  def init(schema: StructType, numBuckets: Int = defaultNumBuckets): Manifest = {
+    require(!exists, s"table already exists at $root")
+    Files.createDirectories(rootPath.resolve("manifests"))
+    Files.createDirectories(rootPath.resolve("data"))
+    val m = Manifest(
+      version = 0L, parentVersion = -1L, numBuckets = numBuckets,
+      schemas = Seq(schema.json), files = Seq.empty,
+      fences = Map.empty, watermarks = Map.empty, metrics = Seq.empty)
+    commit(m)
+    m
+  }
+
+  /** Atomically publish a new manifest version. */
+  def commit(m: Manifest): Unit = {
+    val mp = manifestPath(m.version)
+    Files.createDirectories(mp.getParent)
+    Files.write(mp, Manifest.toJson(m).getBytes(StandardCharsets.UTF_8))
+    val tmp = rootPath.resolve(s"_current.tmp.${m.version}")
+    Files.write(tmp, m.version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Cast/pad `df` to exactly `target` (case-insensitive name resolution,
+    * missing columns null-filled, Integer→Long / Float→Double widening via
+    * cast) — the engine's MATCH_BY_COLUMN_NAME + ENABLE_SCHEMA_EVOLUTION
+    * analog (reference snowflake/setup.sql:58-61).
+    */
+  def conformTo(df: DataFrame, target: StructType): DataFrame =
+    df.select(SnapshotTable.conformColumns(df.schema, target): _*)
+
+  /** Read the rows of the given file entries, conformed to the current
+    * schema (+ `_lsn`). Files are grouped by their written schemaId so a
+    * physical int32 column widened to long is cast, never mis-read.
+    */
+  private[cdc] def readFiles(spark: SparkSession, m: Manifest, entries: Seq[FileEntry]): DataFrame = {
+    val target = DataType.fromJson(m.currentSchemaJson).asInstanceOf[StructType]
+      .add(Model.LsnCol, LongType, nullable = false)
+    if (entries.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    } else {
+      entries.groupBy(_.schemaId).toSeq.sortBy(_._1).map { case (sid, fs) =>
+        val written = DataType.fromJson(m.schemas(sid)).asInstanceOf[StructType]
+          .add(Model.LsnCol, LongType, nullable = false)
+        val df = spark.read.schema(written).parquet(fs.map(_.path): _*)
+        conformTo(df, target)
+      }.reduce(_.unionByName(_))
+    }
+  }
+
+  /** Current snapshot as a DataFrame of payload columns. */
+  def read(spark: SparkSession): DataFrame = readWithLsn(spark).drop(Model.LsnCol)
+
+  def readWithLsn(spark: SparkSession): DataFrame = {
+    val m = manifest.getOrElse(sys.error(s"no such table: $root"))
+    readFiles(spark, m, m.files)
+  }
+
+  /** List the part files Spark wrote under a partitionBy("_bucket") output
+    * dir, returning (absolutePath, bucket) pairs.
+    */
+  private[cdc] def listBucketFiles(dir: Path): Seq[(String, Int)] = {
+    if (!Files.exists(dir)) return Seq.empty
+    Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .map { p =>
+        val bucketDir = p.getParent.getFileName.toString
+        require(bucketDir.startsWith("_bucket="), s"unexpected layout at $p")
+        (p.toString, bucketDir.stripPrefix("_bucket=").toInt)
+      }.toSeq.sortBy(_._1)
+  }
+}
+
+object SnapshotTable {
+
+  /** Projection list that casts/pads a source schema onto `target`:
+    * case-insensitive resolution, missing columns null-filled, numeric
+    * widening via cast.
+    */
+  def conformColumns(source: StructType, target: StructType): Seq[Column] = {
+    val byLower = source.fields.map(f => f.name.toLowerCase -> f).toMap
+    target.fields.toSeq.map { f =>
+      byLower.get(f.name.toLowerCase) match {
+        // parquet relations force array elements nullable on read; a cast
+        // differing only in nullability is both unnecessary and rejected
+        // by Catalyst (CAST_WITHOUT_SUGGESTION), so compare modulo nulls
+        case Some(src) if sameIgnoreNullability(src.dataType, f.dataType) =>
+          col(src.name).as(f.name)
+        case Some(src) =>
+          col(src.name).cast(relaxNulls(f.dataType)).as(f.name)
+        case None => lit(null).cast(relaxNulls(f.dataType)).as(f.name)
+      }
+    }
+  }
+
+  /** Nullability-relaxed copy of a type (DataType.asNullable is
+    * private[spark]).
+    */
+  def relaxNulls(dt: DataType): DataType = dt match {
+    case ArrayType(e, _) => ArrayType(relaxNulls(e), containsNull = true)
+    case MapType(k, v, _) => MapType(relaxNulls(k), relaxNulls(v), valueContainsNull = true)
+    case StructType(fs) =>
+      StructType(fs.map(f => f.copy(dataType = relaxNulls(f.dataType), nullable = true)))
+    case x => x
+  }
+
+  def sameIgnoreNullability(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (ArrayType(x, _), ArrayType(y, _)) => sameIgnoreNullability(x, y)
+    case (MapType(xk, xv, _), MapType(yk, yv, _)) =>
+      sameIgnoreNullability(xk, yk) && sameIgnoreNullability(xv, yv)
+    case (StructType(xs), StructType(ys)) =>
+      xs.length == ys.length && xs.zip(ys).forall { case (f, g) =>
+        f.name == g.name && sameIgnoreNullability(f.dataType, g.dataType)
+      }
+    case _ => a == b
+  }
+
+  /** Deterministic bucket of a doc_id. xxhash64 is Spark's codegen'd 64-bit
+    * hash — stable across versions/partitionings.
+    */
+  def bucketOf(docId: Column, numBuckets: Int): Column =
+    pmod(xxhash64(docId), lit(numBuckets.toLong)).cast("int")
+
+  /** Additive, case-insensitive schema merge with safe numeric widening —
+    * new columns append, Integer→Long and Float→Double widen; anything else
+    * incompatible throws.
+    */
+  def mergeSchemas(table: StructType, batch: StructType): StructType = {
+    def widen(a: DataType, b: DataType): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+      case (ArrayType(ea, n1), ArrayType(eb, n2)) => ArrayType(widen(ea, eb), n1 || n2)
+      case _ => throw new IllegalArgumentException(
+        s"incompatible schema evolution: $a vs $b")
+    }
+    val batchByLower = batch.fields.map(f => f.name.toLowerCase -> f).toMap
+    val merged = table.fields.toSeq.map { f =>
+      batchByLower.get(f.name.toLowerCase) match {
+        case Some(bf) => StructField(f.name, widen(f.dataType, bf.dataType), f.nullable || bf.nullable)
+        case None     => f
+      }
+    }
+    val tableLower = table.fields.map(_.name.toLowerCase).toSet
+    val added = batch.fields.toSeq
+      .filterNot(f => tableLower.contains(f.name.toLowerCase))
+      .map(f => f.copy(nullable = true)) // backfilled as null for old rows
+    StructType(merged ++ added)
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one JVM-wide session — sbt
+  * forks a single test JVM).
+  */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSpec.session
+
+  /** Fresh scratch dir per call, auto-cleaned on JVM exit. */
+  def tmpDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(s"graft-$prefix-")
+    p.toFile.deleteOnExit()
+    p
+  }
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
