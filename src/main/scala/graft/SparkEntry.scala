@@ -11,7 +11,8 @@ import graft.analytics._
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    AggOps
+    AggOps,
+    CdcOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

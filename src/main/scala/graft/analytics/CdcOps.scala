@@ -1,0 +1,139 @@
+package graft.analytics
+
+import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc._
+import graft.util.Tables
+
+/** Flagship CDC queries: the whole engine — changelog tail, two-level
+  * dedup, fenced MERGE, snapshot commit — exercised end-to-end inside a
+  * DuckDB-verifiable query. The changelog is derived *deterministically
+  * from the `documents` table* (tokenizer + op rules are plain arithmetic),
+  * so the final snapshot state is expressible as ANSI SQL over the same
+  * parquet and the driver's oracle can hash-check the engine's replay.
+  *
+  * Event rules (doc_id `d`):
+  *   - every doc inserts at lsn 3d with tokens = H(words(text));
+  *   - d % 5 == 0 updates at lsn 3d+1 with tokens' = (t*31+7) % V;
+  *   - d % 17 == 0 deletes at lsn 3d+2;
+  *   - d % 13 == 0 re-delivers its insert in a later chunk (duplicate).
+  * Word hash H(w) = (len(w)*1000003 + ascii(first)*101 + ascii(last)) % V,
+  * V = 50257 — identical arithmetic in Spark and DuckDB.
+  */
+object CdcOps extends QueryPack {
+
+  private val V = 50257
+
+  /** Tokenize a text column: split on spaces, drop empties, hash words. */
+  private def tokenize(text: Column): Column = {
+    val words = filter(split(text, " "), w => length(w) > 0)
+    transform(words, w =>
+      ((length(w).cast("long") * 1000003L +
+        ascii(w.substr(lit(1), lit(1))).cast("long") * 101L +
+        ascii(w.substr(length(w), lit(1))).cast("long")) % V).cast("int"))
+  }
+
+  /** Build the deterministic changelog from `documents`. */
+  private def changelog(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "documents").select(
+      col("doc_id").as("did"),
+      col("doc_id").cast("string").as("doc_id"),
+      tokenize(col("text")).as("base_toks"),
+      col("source"))
+    val common = Seq(
+      pmod(col("did"), lit(4L)).cast("int").as("partition"),
+      col("doc_id"))
+    val nullTs = lit(null).cast("timestamp").as("ts")
+
+    val ins = base.select(Seq((col("did") * 3).as("lsn")) ++ common ++ Seq(
+      lit("I").as("op"),
+      col("base_toks").as("tokens"),
+      size(col("base_toks")).as("n_tok"),
+      col("source"), nullTs): _*)
+    val upd = base.filter(pmod(col("did"), lit(5L)) === 0)
+      .select(Seq((col("did") * 3 + 1).as("lsn")) ++ common ++ Seq(
+        lit("U").as("op"),
+        transform(col("base_toks"), t => (t * 31 + 7) % V).as("tokens"),
+        size(col("base_toks")).as("n_tok"),
+        col("source"), nullTs): _*)
+    val del = base.filter(pmod(col("did"), lit(17L)) === 0)
+      .select(Seq((col("did") * 3 + 2).as("lsn")) ++ common ++ Seq(
+        lit("D").as("op"),
+        lit(null).cast("array<int>").as("tokens"),
+        lit(null).cast("int").as("n_tok"),
+        lit(null).cast("string").as("source"), nullTs): _*)
+    ins.unionByName(upd).unionByName(del)
+      .select("lsn", "partition", "op", "doc_id", "tokens", "n_tok", "source", "ts")
+  }
+
+  /** Replay the documents-derived changelog once per (sfDir) and memoize
+    * the resulting table (several queries read the same snapshot).
+    */
+  private val replayed = TrieMap.empty[String, SnapshotTable]
+
+  private[analytics] def replayFor(s: SparkSession, dir: String): SnapshotTable =
+    replayed.getOrElseUpdate(dir, {
+      val work = Files.createTempDirectory("graft-cdcops").toString
+      val log = changelog(s, dir)
+      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val chunk = maxDid / 4 + 1
+      val logDir = Paths.get(s"$work/log")
+      Files.createDirectories(logDir)
+      val t0 = System.currentTimeMillis()
+      for (k <- 0 until 5) {
+        val lo = k * chunk; val hi = (k + 1) * chunk
+        val fresh = log.filter(col("lsn") >= lo * 3 && col("lsn") < hi * 3)
+        // duplicate re-delivery of the previous chunk's inserts
+        val dups = log.filter(
+          col("op") === "I" && pmod(col("lsn") / 3, lit(13L)) === 0 &&
+            col("lsn") >= (k - 1) * chunk * 3 && col("lsn") < lo * 3)
+        ChangelogGen.writeSingleFile(
+          fresh.unionByName(dups).orderBy("lsn"), logDir, f"chunk-$k%05d.parquet",
+          Some(t0 + k * 1000L))
+      }
+      IngestJob.replay(s, IngestJob.Config(
+        logDir = logDir.toString,
+        tableDir = s"$work/table",
+        checkpointDir = s"$work/ckpt",
+        maxFilesPerTrigger = Some(1),
+        numBuckets = 8,
+        quarantineDir = Some(s"$work/quarantine")))
+    })
+
+  def queries: Map[String, Query] = Map(
+    // The north-star path: stream-tail → MERGE → snapshot, end-to-end.
+    "q50_cdc_replay" -> { (s, dir) =>
+      replayFor(s, dir).read(s).orderBy("doc_id")
+    },
+    // Lineage + per-epoch metrics of the same replay (committed atomically
+    // with the data; rows-only check — engine-internal state has no SQL
+    // equivalent).
+    "q51_cdc_lineage" -> { (s, dir) =>
+      import s.implicits._
+      val m = replayFor(s, dir).manifest.get
+      m.metrics.toDF().orderBy("queryId", "epochId")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q50_cdc_replay" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
+         |    list_transform(
+         |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+         |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
+         |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks,
+         |    source
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN did % 5 = 0
+         |       THEN list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT))
+         |       ELSE base_toks END AS tokens,
+         |  CAST(len(base_toks) AS INT) AS n_tok,
+         |  source
+         |FROM toks WHERE did % 17 <> 0 ORDER BY doc_id""".stripMargin
+  )
+}
