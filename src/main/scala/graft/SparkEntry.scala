@@ -12,6 +12,9 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     AggOps,
+    JoinOps,
+    ScalarOps,
+    EventOps,
     CdcOps
   )
 
