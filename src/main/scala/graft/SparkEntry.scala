@@ -15,6 +15,10 @@ object SparkEntry {
     JoinOps,
     ScalarOps,
     EventOps,
+    DedupOps,
+    TextOps,
+    AnnOps,
+    MediaOps,
     CdcOps
   )
 

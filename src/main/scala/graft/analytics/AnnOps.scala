@@ -1,0 +1,171 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column):
+  * brute-force cosine top-k as the exact baseline, and random-hyperplane
+  * LSH bucketing as the scale path (candidates only within a bucket).
+  *
+  * Determinism across engines: embeddings are quantized to integers
+  * (round(x*1000)) so dot products and norms are exact int64 arithmetic;
+  * cosine = dot/√n1/√n2 is then IEEE-identical in Spark and DuckDB, and
+  * top-k has a full tie-break. Float-sum ordering differences can never
+  * flip a rank.
+  *
+  * Scale shape: the brute-force variant broadcasts the (small) query set —
+  * a broadcast nested-loop by construction, O(Q×N) compute with no
+  * shuffle of the big side; the LSH variant replaces it with an equi-join
+  * on bucket id (shuffle-partitionable, O(collisions) compute).
+  */
+object AnnOps extends QueryPack {
+
+  private val Dim = 64
+  private val NPlanes = 8
+
+  /** Quantized embedding (Spark). */
+  private def qe(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000, 0).cast("long"))
+
+  private val duckQe =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Deterministic pseudo-hyperplane j: w_j[i] = ((i*31 + j*17) % 7) - 3,
+    * i 1-based — same integers on both engines.
+    */
+  private def plane(j: Int): Seq[Long] =
+    (1 to Dim).map(i => ((i * 31 + j * 17) % 7 - 3).toLong)
+
+  private def bucketCol(q: Column): Column =
+    (0 until NPlanes).map { j =>
+      when(dot(q, typedLit(plane(j))) >= 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+
+  private def duckBucket: String =
+    (0 until NPlanes).map { j =>
+      s"""(CASE WHEN CAST(list_sum(list_transform(generate_series(1, $Dim),
+         |    i -> qe[i] * ((i*31 + $j*17) % 7 - 3))) AS BIGINT) >= 0
+         |  THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"label", qe($"embedding").as("qe"))
+      .withColumn("norm2", aggregate($"qe", lit(0L), (a, x) => a + x * x))
+  }
+
+  private val duckQuantized =
+    s"""q0 AS (SELECT vec_id, label, $duckQe AS qe FROM embeddings),
+       |qn AS (SELECT vec_id, label, qe,
+       |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS norm2 FROM q0)""".stripMargin
+
+  private val duckDot =
+    "CAST(list_sum(list_transform(generate_series(1, 64), i -> q_qe[i] * qe[i])) AS BIGINT)"
+
+  def queries: Map[String, Query] = Map(
+    "q38_ann_brute_topk" -> { (s, dir) =>
+      import s.implicits._
+      val n = quantized(s, dir)
+      val q = n.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("query_id"), $"qe".as("q_qe"), $"norm2".as("q_n2"))
+      val scored = n.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("dot", dot($"q_qe", $"qe"))
+        .withColumn("score",
+          $"dot".cast("double") / sqrt($"q_n2".cast("double")) / sqrt($"norm2".cast("double")))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"vec_id", $"dot", $"score", $"rank")
+        .orderBy("query_id", "rank")
+    },
+
+    "q39_ann_lsh" -> { (s, dir) =>
+      import s.implicits._
+      // hyperplane-LSH: candidates share a bucket with the query; top-3
+      // within bucket (equi-join on bucket — the 100 TB-shaped plan)
+      val n = quantized(s, dir).withColumn("bucket", bucketCol($"qe"))
+      val q = n.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("query_id"), $"qe".as("q_qe"), $"norm2".as("q_n2"),
+          $"bucket".as("q_bucket"))
+      val scored = n.join(q, $"bucket" === $"q_bucket" && $"vec_id" =!= $"query_id")
+        .withColumn("dot", dot($"q_qe", $"qe"))
+        .withColumn("score",
+          $"dot".cast("double") / sqrt($"q_n2".cast("double")) / sqrt($"norm2".cast("double")))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"bucket", $"vec_id", $"score", $"rank")
+        .orderBy("query_id", "rank")
+    },
+
+    "q40_embedding_centroids" -> { (s, dir) =>
+      import s.implicits._
+      // per-label centroid stats over quantized components (exact ints)
+      val n = quantized(s, dir)
+      n.groupBy($"label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(element_at($"qe", 1)).as("sum_c1"),
+          sum(element_at($"qe", 17)).as("sum_c17"),
+          sum(element_at($"qe", 33)).as("sum_c33"),
+          sum(element_at($"qe", 49)).as("sum_c49"),
+          sum($"norm2").as("sum_norm2"))
+        .withColumn("avg_c1", $"sum_c1".cast("double") / $"n_vecs")
+        .orderBy("label")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q38_ann_brute_topk" ->
+      s"""WITH $duckQuantized,
+         |q AS (SELECT vec_id AS query_id, qe AS q_qe, norm2 AS q_n2
+         |      FROM qn WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT query_id, vec_id, $duckDot AS dot,
+         |    CAST($duckDot AS DOUBLE) / sqrt(CAST(q_n2 AS DOUBLE))
+         |      / sqrt(CAST(norm2 AS DOUBLE)) AS score
+         |  FROM qn JOIN q ON vec_id <> query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, dot, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, dot, score, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q39_ann_lsh" ->
+      s"""WITH $duckQuantized,
+         |b AS (SELECT vec_id, qe, norm2, $duckBucket AS bucket FROM qn),
+         |q AS (SELECT vec_id AS query_id, qe AS q_qe, norm2 AS q_n2,
+         |      bucket AS q_bucket FROM b WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT query_id, bucket, vec_id,
+         |    CAST($duckDot AS DOUBLE) / sqrt(CAST(q_n2 AS DOUBLE))
+         |      / sqrt(CAST(norm2 AS DOUBLE)) AS score
+         |  FROM b JOIN q ON bucket = q_bucket AND vec_id <> query_id),
+         |ranked AS (
+         |  SELECT query_id, bucket, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, bucket, vec_id, score, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q40_embedding_centroids" ->
+      s"""WITH $duckQuantized
+         |SELECT label, count(*) AS n_vecs,
+         |  CAST(sum(qe[1]) AS BIGINT) AS sum_c1,
+         |  CAST(sum(qe[17]) AS BIGINT) AS sum_c17,
+         |  CAST(sum(qe[33]) AS BIGINT) AS sum_c33,
+         |  CAST(sum(qe[49]) AS BIGINT) AS sum_c49,
+         |  CAST(sum(norm2) AS BIGINT) AS sum_norm2,
+         |  CAST(CAST(sum(qe[1]) AS BIGINT) AS DOUBLE) / count(*) AS avg_c1
+         |FROM qn GROUP BY label ORDER BY label""".stripMargin
+  )
+}

@@ -1,0 +1,235 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.XHash
+import graft.util.Tables
+
+/** Training-data deduplication family over the `documents` table: exact
+  * (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+  * SimHash fingerprints, and n-gram Jaccard verification of LSH candidate
+  * pairs. All hashes are the cross-engine [[XHash]] so every signature,
+  * bucket and pair is DuckDB-verifiable.
+  *
+  * The corpus injects deterministic duplicates (the raw table has unique
+  * texts): every doc_id % 11 == 0 gets an exact copy at id+2000000, every
+  * doc_id % 7 == 0 with ≥4 words gets a near-copy (last word dropped) at
+  * id+1000000 — so each dedup tier provably fires.
+  *
+  * Scale shape: everything is explode → hash → groupBy (map-side combined)
+  * or equi-join on band keys — no cross join anywhere; candidate
+  * verification cost is O(collisions), the standard LSH contract.
+  */
+object DedupOps extends QueryPack {
+
+  private val K = 8          // minhash functions
+  private val Bands = 4      // bands × rows-per-band = K
+  private val R = K / Bands
+
+  // ── shared corpus (Spark) ─────────────────────────────────────────────
+  private def wordsCol(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
+  private def corpus(s: SparkSession, dir: String, withExact: Boolean,
+      withNear: Boolean): DataFrame = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    var out = base
+    if (withExact)
+      out = out.unionByName(
+        base.filter($"doc_id" % 11 === 0)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+    if (withNear)
+      out = out.unionByName(
+        base.filter($"doc_id" % 7 === 0 && size(wordsCol($"text")) >= 4)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            array_join(slice(wordsCol($"text"), lit(1), size(wordsCol($"text")) - 1), " ")
+              .as("text")))
+    out
+  }
+
+  // ── shared corpus (DuckDB SQL) ────────────────────────────────────────
+  private val duckWords =
+    "list_filter(string_split(text, ' '), w -> length(w) > 0)"
+
+  private def duckCorpus(withExact: Boolean, withNear: Boolean): String = {
+    val exact =
+      """UNION ALL
+        |SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+        |""".stripMargin
+    val near =
+      s"""UNION ALL
+         |SELECT doc_id + 1000000 AS doc_id,
+         |  array_to_string(list_slice($duckWords, 1, len($duckWords) - 1), ' ') AS text
+         |FROM documents WHERE doc_id % 7 = 0 AND len($duckWords) >= 4
+         |""".stripMargin
+    "SELECT doc_id, text FROM documents\n" +
+      (if (withExact) exact else "") + (if (withNear) near else "")
+  }
+
+  /** 3-word shingles (Spark): element_at is 1-based. */
+  private def shinglesCol(text: Column): Column = {
+    val ws = wordsCol(text)
+    // guard: Spark sequence(1, 0) counts DOWN (unlike DuckDB's empty
+    // generate_series), so short docs need an explicit empty array
+    when(size(ws) >= 3,
+      transform(
+        sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(typedLit(Seq.empty[String]))
+  }
+
+  private val duckShingles =
+    s"""list_transform(
+       |      generate_series(1, greatest(len($duckWords) - 2, 0)),
+       |      i -> $duckWords[i] || ' ' || $duckWords[i+1] || ' ' || $duckWords[i+2])""".stripMargin
+
+  /** (doc_id, band, band_key) LSH band signatures (Spark). */
+  private def bandSignatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shingleRows = corpus(s, dir, withExact = true, withNear = true)
+      .select($"doc_id", explode(shinglesCol($"text")).as("sh"))
+    val hashed = shingleRows
+      .select($"doc_id", $"sh", explode(typedLit((0 until K).toList)).as("j"))
+      .select($"doc_id", $"j",
+        conv(substring(md5(concat($"j".cast("string"), lit(":"), $"sh")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    hashed.groupBy($"doc_id", $"j").agg(min($"h").as("mh"))
+      .groupBy($"doc_id", floor($"j" / R).cast("int").as("band"))
+      .agg(concat_ws("_",
+        max(when($"j" % R === 0, $"mh")),
+        max(when($"j" % R === 1, $"mh"))).as("band_key"))
+  }
+
+  private val duckBandSignatures =
+    s"""corpus AS (${duckCorpus(withExact = true, withNear = true)}),
+       |shingle_rows AS (
+       |  SELECT doc_id, unnest($duckShingles) AS sh FROM corpus),
+       |hashed AS (
+       |  SELECT doc_id, j,
+       |    ${XHash.duckHash32FromMd5("md5(CAST(j AS VARCHAR) || ':' || sh)")} AS h
+       |  FROM shingle_rows CROSS JOIN range($K) t(j)),
+       |sig AS (
+       |  SELECT doc_id, j, min(h) AS mh FROM hashed GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, CAST(j // $R AS INT) AS band,
+       |    CAST(max(CASE WHEN j % $R = 0 THEN mh END) AS VARCHAR) || '_' ||
+       |    CAST(max(CASE WHEN j % $R = 1 THEN mh END) AS VARCHAR) AS band_key
+       |  FROM sig GROUP BY 1, 2)""".stripMargin
+
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = bandSignatures(s, dir)
+    val a1 = b.select($"doc_id".as("d1"), $"band", $"band_key")
+    val a2 = b.select($"doc_id".as("d2"), $"band", $"band_key")
+    a1.join(a2, Seq("band", "band_key")).filter($"d1" < $"d2")
+      .select($"d1", $"d2").distinct()
+  }
+
+  private val duckCandidatePairs =
+    s"""WITH $duckBandSignatures,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  def queries: Map[String, Query] = Map(
+    "q30_dedup_exact" -> { (s, dir) =>
+      import s.implicits._
+      // exact dedup: hash-groupBy on md5(text), deterministic canonical
+      // pick (min doc_id), report only duplicated groups
+      val c = corpus(s, dir, withExact = true, withNear = false)
+        .withColumn("text_key", md5($"text"))
+      val w = Window.partitionBy($"text_key").orderBy($"doc_id")
+      c.withColumn("rn", row_number().over(w))
+        .withColumn("n_copies", count(lit(1)).over(Window.partitionBy($"text_key")))
+        .filter($"n_copies" > 1)
+        .select($"doc_id", $"text_key", $"rn", ($"rn" === 1).as("is_canonical"))
+        .orderBy($"text_key", $"doc_id")
+    },
+
+    "q35_minhash_lsh" -> { (s, dir) =>
+      candidatePairs(s, dir).orderBy("d1", "d2")
+    },
+
+    "q36_simhash" -> { (s, dir) =>
+      import s.implicits._
+      // 16-bit simhash over word hashes (with multiplicity)
+      val wordRows = corpus(s, dir, withExact = false, withNear = true)
+        .select($"doc_id", explode(wordsCol($"text")).as("w"))
+        .select($"doc_id", XHash.hash32($"w", "sh").as("h"))
+      val bitSums = (0 until 16).map(i =>
+        sum(when(shiftright($"h", i) % 2 === 1, 1).otherwise(-1)).as(s"b$i"))
+      val simhash = (0 until 16).map(i =>
+        when(col(s"b$i") >= 0, 1L << i).otherwise(0L)).reduce(_ + _)
+      wordRows.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select($"doc_id", simhash.as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    "q37_ngram_jaccard" -> { (s, dir) =>
+      import s.implicits._
+      // verify LSH candidates with exact 3-gram Jaccard
+      val sets = corpus(s, dir, withExact = true, withNear = true)
+        .select($"doc_id", array_distinct(shinglesCol($"text")).as("sset"))
+      val cand = candidatePairs(s, dir)
+      cand
+        .join(sets.select($"doc_id".as("d1"), $"sset".as("s1")), Seq("d1"))
+        .join(sets.select($"doc_id".as("d2"), $"sset".as("s2")), Seq("d2"))
+        .select($"d1", $"d2",
+          size(array_intersect($"s1", $"s2")).as("n_inter"),
+          (size($"s1") + size($"s2") - size(array_intersect($"s1", $"s2"))).as("n_union"))
+        .withColumn("jaccard", $"n_inter".cast("double") / $"n_union")
+        .withColumn("is_near_dup", $"jaccard" >= 0.6)
+        .orderBy("d1", "d2")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      s"""WITH corpus AS (${duckCorpus(withExact = true, withNear = false)}),
+         |keyed AS (
+         |  SELECT doc_id, md5(text) AS text_key,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY md5(text)) AS n_copies
+         |  FROM corpus)
+         |SELECT doc_id, text_key, rn, rn = 1 AS is_canonical
+         |FROM keyed WHERE n_copies > 1 ORDER BY text_key, doc_id""".stripMargin,
+
+    "q35_minhash_lsh" ->
+      s"""$duckCandidatePairs
+         |SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
+
+    "q36_simhash" -> {
+      val bitSums = (0 until 16).map(i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n    ")
+      val sim = (0 until 16).map(i =>
+        s"(CASE WHEN b$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH corpus AS (${duckCorpus(withExact = false, withNear = true)}),
+         |word_rows AS (
+         |  SELECT doc_id, ${XHash.duckHash32("w", "sh")} AS h
+         |  FROM (SELECT doc_id, unnest($duckWords) AS w FROM corpus)),
+         |bits AS (
+         |  SELECT doc_id,
+         |    $bitSums
+         |  FROM word_rows GROUP BY 1)
+         |SELECT doc_id, $sim AS simhash FROM bits ORDER BY doc_id""".stripMargin
+    },
+
+    "q37_ngram_jaccard" ->
+      s"""$duckCandidatePairs,
+         |sets AS (
+         |  SELECT doc_id, list_distinct($duckShingles) AS sset FROM corpus),
+         |joined AS (
+         |  SELECT d1, d2,
+         |    len(list_filter(a.sset, x -> list_contains(b.sset, x))) AS n_inter,
+         |    len(a.sset) + len(b.sset)
+         |      - len(list_filter(a.sset, x -> list_contains(b.sset, x))) AS n_union
+         |  FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id)
+         |SELECT d1, d2, n_inter, n_union,
+         |  CAST(n_inter AS DOUBLE) / n_union AS jaccard,
+         |  CAST(n_inter AS DOUBLE) / n_union >= 0.6 AS is_near_dup
+         |FROM joined ORDER BY d1, d2""".stripMargin
+  )
+}

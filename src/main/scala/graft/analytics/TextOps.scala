@@ -1,0 +1,161 @@
+package graft.analytics
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Text-analysis family for a training-data pipeline over `documents`:
+  * token counting (whitespace + regex), quality scoring (length/punct/
+  * stopword ratios), n-gram-heuristic language ID, and rolling-hash
+  * document fingerprinting. All pure Column expressions — codegen'd,
+  * trivially distributed, no UDFs.
+  */
+object TextOps extends QueryPack {
+
+  private val duckWords = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
+  private def wordsCol(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
+  /** Tiny per-language stopword profiles (n-gram heuristic analog); the
+    * predictor is argmax of profile hits with fixed tie-break order.
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "data"),
+    "de" -> Seq("der", "die", "das", "und", "daten"),
+    "fr" -> Seq("le", "la", "de", "et", "les"))
+
+  def queries: Map[String, Query] = Map(
+    "q31_token_count" -> { (s, dir) =>
+      import s.implicits._
+      // whitespace tokens + regex (BPE-ish alnum runs) token counts
+      Tables.load(s, dir, "documents")
+        .select(
+          $"doc_id",
+          size(wordsCol($"text")).as("n_ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_re_tokens"),
+          length($"text").as("len_chars"),
+          (length($"text") === $"n_chars").as("n_chars_consistent"))
+        .orderBy("doc_id")
+    },
+
+    "q32_quality_score" -> { (s, dir) =>
+      import s.implicits._
+      val ws = wordsCol($"text")
+      val nWords = size(ws)
+      val stop = Seq("the", "a", "of")
+      val nStop = size(filter(ws, w => w.isin(stop.map(lit): _*)))
+      val nAlnumSpace = length(regexp_replace($"text", "[^a-z0-9 ]", ""))
+      Tables.load(s, dir, "documents")
+        .select(
+          $"doc_id",
+          nWords.as("n_words"),
+          (length($"text").cast("double") / nWords).as("avg_word_span"),
+          (nStop.cast("double") / nWords).as("stopword_ratio"),
+          ((length($"text") - nAlnumSpace).cast("double") / length($"text"))
+            .as("punct_ratio"))
+        .withColumn("quality_tier",
+          when($"n_words" < 20, "too_short")
+            .when($"stopword_ratio" > 0.25, "boilerplate")
+            .when($"punct_ratio" > 0.1, "noisy")
+            .otherwise("clean"))
+        .orderBy("doc_id")
+    },
+
+    "q33_lang_id" -> { (s, dir) =>
+      import s.implicits._
+      val ws = wordsCol($"text")
+      val scores: Seq[(String, Column)] = langProfiles.map { case (l, prof) =>
+        l -> size(filter(ws, w => w.isin(prof.map(lit): _*)))
+      }
+      // argmax with fixed tie-break = profile declaration order
+      val best = scores.tail.foldLeft(
+        struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+        case (acc, (l, sc)) =>
+          when(sc > acc.getField("score"),
+            struct(sc.as("score"), lit(l).as("lang"))).otherwise(acc)
+      }
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang".as("labeled_lang"),
+          best.getField("lang").as("predicted_lang"),
+          best.getField("score").as("profile_hits"))
+        .withColumn("agrees", $"predicted_lang" === $"labeled_lang")
+        .orderBy("doc_id")
+    },
+
+    "q34_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      // position-weighted rolling checksum over characters (mod prime) +
+      // first/last word-hash anchors — a cheap shift-sensitive fingerprint
+      // mod once at the end == mod at each step; the plain sum fits a
+      // long (max ~2.8e13 for multi-KB docs)
+      val chars = split($"text", "")
+      val weighted = aggregate(
+        zip_with(chars, sequence(lit(1), length($"text")),
+          (c, i) => ascii(c).cast("long") * i.cast("long")),
+        lit(0L), (acc, x) => acc + x) % 1000000007L
+      Tables.load(s, dir, "documents")
+        .select(
+          $"doc_id",
+          weighted.as("roll_hash"),
+          length($"text").as("n"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q31_token_count" ->
+      s"""SELECT doc_id,
+         |  len($duckWords) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+         |  length(text) AS len_chars,
+         |  length(text) = n_chars AS n_chars_consistent
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q32_quality_score" ->
+      s"""SELECT doc_id, n_words, avg_word_span, stopword_ratio, punct_ratio,
+         |  CASE WHEN n_words < 20 THEN 'too_short'
+         |       WHEN stopword_ratio > 0.25 THEN 'boilerplate'
+         |       WHEN punct_ratio > 0.1 THEN 'noisy'
+         |       ELSE 'clean' END AS quality_tier
+         |FROM (
+         |  SELECT doc_id,
+         |    len($duckWords) AS n_words,
+         |    CAST(length(text) AS DOUBLE) / len($duckWords) AS avg_word_span,
+         |    CAST(len(list_filter($duckWords, w -> w IN ('the', 'a', 'of'))) AS DOUBLE)
+         |      / len($duckWords) AS stopword_ratio,
+         |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q33_lang_id" -> {
+      val hits = langProfiles.map { case (l, prof) =>
+        s"len(list_filter($duckWords, w -> w IN (${prof.map(p => s"'$p'").mkString(", ")}))) AS hits_$l"
+      }.mkString(",\n    ")
+      // same fold as the Spark side: later profile wins only on strictly
+      // greater score
+      val (l0, _) = langProfiles.head
+      val folded = langProfiles.tail.foldLeft((s"hits_$l0", s"'$l0'")) {
+        case ((accScore, accLang), (l, _)) =>
+          (s"(CASE WHEN hits_$l > $accScore THEN hits_$l ELSE $accScore END)",
+            s"(CASE WHEN hits_$l > $accScore THEN '$l' ELSE $accLang END)")
+      }
+      s"""SELECT doc_id, labeled_lang, ${folded._2} AS predicted_lang,
+         |  ${folded._1} AS profile_hits,
+         |  ${folded._2} = labeled_lang AS agrees
+         |FROM (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    $hits
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q34_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(1, length(text)),
+        |    i -> CAST(ascii(substring(text, i, 1)) AS BIGINT) * i)) % 1000000007
+        |    AS BIGINT) AS roll_hash,
+        |  length(text) AS n
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
