@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ad-hoc JVM flags for perf experiments (e.g. GRAFT_JAVA_OPTS="-Xlog:gc")
+javaOptions ++= sys.env.get("GRAFT_JAVA_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)

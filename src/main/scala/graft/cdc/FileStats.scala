@@ -15,8 +15,17 @@ import org.apache.spark.sql.SparkSession
 object FileStats {
 
   def entries(spark: SparkSession, files: Seq[(String, Int)], schemaId: Int): Seq[FileEntry] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val conf = spark.sparkContext.hadoopConfiguration
-    files.map { case (path, bucket) =>
+    val futures = files.map { case (path, bucket) => Future(entry(conf, path, bucket, schemaId)) }
+    Await.result(Future.sequence(futures), Duration.Inf)
+  }
+
+  private def entry(conf: org.apache.hadoop.conf.Configuration, path: String,
+      bucket: Int, schemaId: Int): FileEntry = {
+    {
       val (rows, minLsn, maxLsn) = Try {
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(path), conf))
         try {
@@ -35,7 +44,7 @@ object FileStats {
             if (maxs.nonEmpty) maxs.max else Long.MaxValue)
         } finally reader.close()
       }.getOrElse((-1L, Long.MinValue, Long.MaxValue))
-      FileEntry(path, bucket, schemaId, minLsn, maxLsn, rows)
+      FileEntry(path, bucket, schemaId, minLsn, maxLsn, rows, FileEntry.Base)
     }
   }
 }

@@ -43,7 +43,10 @@ object IngestJob {
       processingTime: String = "5 seconds",
       schema: StructType = Model.changeEventSchema,
       quarantineDir: Option[String] = None,
-      saltBuckets: Int = 64)
+      saltBuckets: Int = 64,
+      mode: String = MergeEngine.ModeMor,
+      writeSplits: Int = 4,
+      compactEvery: Int = 8)
 
   /** Row-level validity predicate — the reference's ON_ERROR='CONTINUE'
     * COPY tolerance (nyc_taxi_sync_dag.py:47) and pydantic wire validation
@@ -89,7 +92,14 @@ object IngestJob {
         batch.filter(!validExpr(batch))
           .write.mode("overwrite").parquet(s"$qd/epoch=$epochId")
       }
-      MergeEngine.merge(spark, table, valid, cfg.queryId, epochId, cfg.saltBuckets)
+      MergeEngine.merge(spark, table, valid, cfg.queryId, epochId,
+        saltBuckets = cfg.saltBuckets, writeSplits = cfg.writeSplits, mode = cfg.mode)
+      // amortized maintenance: fold delta files back into base every K
+      // epochs (lineage is untouched, so timing is free to choose)
+      if (cfg.mode == MergeEngine.ModeMor && cfg.compactEvery > 0 &&
+          (epochId + 1) % cfg.compactEvery == 0) {
+        MergeEngine.compact(spark, table, cfg.writeSplits)
+      }
       ()
     }
 

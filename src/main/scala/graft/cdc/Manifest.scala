@@ -15,7 +15,19 @@ case class FileEntry(
     schemaId: Int,
     minLsn: Long,
     maxLsn: Long,
-    rows: Long)
+    rows: Long,
+    kind: String) {
+  def isDelta: Boolean = kind == FileEntry.Delta
+}
+
+object FileEntry {
+  /** Fully reconciled rows (payload + _lsn). */
+  val Base = "base"
+  /** Merge-on-read delta: raw change rows (payload + _lsn + _op incl.
+    * delete tombstones), reconciled at read/compaction.
+    */
+  val Delta = "delta"
+}
 
 /** Per-epoch ingest metrics, committed atomically with the data they
   * describe (fixes the reference's at-least-once Redis INCRBY hazard,
@@ -77,6 +89,8 @@ object Manifest {
       if (n == null) Map.empty
       else n.fieldNames().asScala.map(k => k -> n.get(k).asLong()).toMap
     }
-    m.copy(fences = longMap("fences"), watermarks = longMap("watermarks"))
+    m.copy(
+      fences = longMap("fences"), watermarks = longMap("watermarks"),
+      files = m.files.map(f => if (f.kind == null) f.copy(kind = FileEntry.Base) else f))
   }
 }

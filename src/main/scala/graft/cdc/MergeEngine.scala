@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,28 +9,43 @@ import org.apache.spark.sql.types._
   * `incremental_strategy='merge'` (fct_trips.sql:1-13) executed by
   * Snowflake. Design per SURVEY.md §4.2/§4.3:
   *
-  * Dedup is layered (each layer is sufficient for correctness; upper
-  * layers exist to cut shuffle volume at scale):
+  * Dedup/reconcile layers (each alone is sufficient for correctness;
+  * upper layers cut shuffle volume at scale):
   *   0. epoch fence — a (queryId, epochId) at or below the committed fence
   *      makes the whole merge a no-op (exactly-once under foreachBatch
   *      replay);
   *   1. broadcast min-LSN filter — per-source-partition applied watermarks
   *      embedded as a map literal drop already-applied events before any
   *      shuffle (source re-delivery, e.g. a re-shipped WAL suffix);
-  *   2. salted two-phase last-LSN-wins — group by (doc_id, salt(lsn))
-  *      then by doc_id, taking max_by(lsn). The salt bounds per-reducer
-  *      fan-in for zipf-hot keys; hash partial aggregation additionally
-  *      combines map-side, so a hot doc_id contributes at most
-  *      (#tasks × #salts) rows to the shuffle instead of its raw count;
-  *   3. row-level reconcile — surviving events are unioned with the live
-  *      rows of only the touched buckets and resolved by max(lsn), so even
-  *      an event that slipped past 0–2 can never regress a newer row.
+  *   2. (optional, for hot-key update storms) salted two-phase
+  *      last-LSN-wins pre-combine: group by (doc_id, salt(lsn)) then by
+  *      doc_id — map-side partial aggregation collapses a zipf-hot key to
+  *      ≤ tasks × salts rows before the main shuffle. Off by default: for
+  *      ordinary duplication rates its two extra shuffles cost more than
+  *      they save;
+  *   3. the [[Reconcile]] operator — ONE salted shuffle on hash(doc_id),
+  *      per-partition sort, streaming first-row-wins. An event that
+  *      slipped past 0–2 can never regress a newer row; deletes drop it.
   *
-  * Deletes drop the row; 'I' and 'U' both upsert. Commit is one atomic
-  * manifest swap; untouched buckets carry their files forward unchanged —
-  * the rewrite is O(touched buckets), not O(table).
+  * Two write modes:
+  *   - MERGE-ON-READ (default): the batch alone is shuffled into DELTA
+  *     files (payload + _lsn + _op, delete tombstones included); readers
+  *     and periodic [[compact]] runs apply [[Reconcile]]. Ingest cost is
+  *     O(batch) — the table is never rewritten on the hot path, which is
+  *     what survives a 10^10-event log. Compaction safety relies on
+  *     per-partition key affinity (a doc's events share a source
+  *     partition), the same contract every log-compacted system assumes.
+  *   - COPY-ON-WRITE: the classic eager variant — batch ∪ live rows of
+  *     touched buckets reconcile and rewrite those buckets; reads stay
+  *     plain scans. O(touched buckets) per epoch.
+  *
+  * 'I' and 'U' both upsert. Commit is one atomic manifest swap; untouched
+  * buckets carry their files forward unchanged.
   */
 object MergeEngine {
+
+  val ModeMor = "mor"
+  val ModeCow = "cow"
 
   case class MergeResult(applied: Boolean, metrics: Option[EpochMetrics], version: Long)
 
@@ -39,13 +54,27 @@ object MergeEngine {
     */
   private val MetricsRetained = 4096
 
+  private val timing = sys.env.get("GRAFT_MERGE_TIMING").contains("1")
+  private def timed[A](label: String)(a: => A): A = {
+    if (!timing) a
+    else {
+      val t0 = System.nanoTime()
+      val r = a
+      println(f"[merge-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
   def merge(
       spark: SparkSession,
       table: SnapshotTable,
       events: DataFrame,
       queryId: String,
       epochId: Long,
-      saltBuckets: Int = 64): MergeResult = {
+      saltBuckets: Int = 64,
+      saltedPreDedup: Boolean = false,
+      writeSplits: Int = 4,
+      mode: String = ModeMor): MergeResult = {
 
     val m = table.manifest.getOrElse(sys.error(s"table not initialized: ${table.root}"))
 
@@ -69,129 +98,175 @@ object MergeEngine {
       if (wm.isEmpty) lit(Long.MinValue)
       else coalesce(element_at(typedLit(wm), col("partition")), lit(Long.MinValue))
 
-    // One small stats job drives watermark advance, touched-bucket set and
-    // the eventsIn/belowWatermark metrics (collect is O(partitions ×
-    // buckets), driver-safe at any data scale).
-    val statsRows = events
+    // One small stats job drives watermark advance, touched buckets and
+    // epoch metrics (collect is O(partitions × buckets × 4), driver-safe
+    // at any scale; scans only 4 columns).
+    val statsRows = timed("stats-job")(events
       .groupBy(
         col("partition"),
         SnapshotTable.bucketOf(col("doc_id"), m.numBuckets).as("_bucket"),
-        (col("lsn") <= wmFloor).as("stale"))
+        (col("lsn") <= wmFloor).as("stale"),
+        (col("op") === Model.OpDelete).as("isdel"))
       .agg(count(lit(1)).as("n"), max(col("lsn")).as("max_lsn"))
-      .collect()
+      .collect())
 
-    val eventsIn = statsRows.map(_.getLong(3)).sum
-    val belowWm = statsRows.filter(_.getBoolean(2)).map(_.getLong(3)).sum
-    val touched: Seq[Int] = statsRows.filterNot(_.getBoolean(2)).map(_.getInt(1)).distinct.sorted.toSeq
+    val eventsIn = statsRows.map(_.getLong(4)).sum
+    val belowWm = statsRows.filter(_.getBoolean(2)).map(_.getLong(4)).sum
+    val freshRows = statsRows.filterNot(_.getBoolean(2))
+    val freshCount = eventsIn - belowWm
+    val freshDeletes = freshRows.filter(_.getBoolean(3)).map(_.getLong(4)).sum
+    val touched: Seq[Int] = freshRows.map(_.getInt(1)).distinct.sorted.toSeq
     val newWatermarks: Map[String, Long] = {
-      val advanced = statsRows.filterNot(_.getBoolean(2))
-        .groupBy(_.getInt(0))
-        .map { case (p, rows) => p.toString -> rows.map(_.getLong(4)).max }
+      val advanced = freshRows.groupBy(_.getInt(0))
+        .map { case (p, rows) => p.toString -> rows.map(_.getLong(5)).max }
       m.watermarks ++ advanced.map { case (k, v) =>
         k -> math.max(v, m.watermarks.getOrElse(k, Long.MinValue))
       }
     }
 
-    if (touched.isEmpty) {
-      // Nothing fresh: commit only the fence/watermark advance (cheap,
-      // metadata-only) so a replay of this epoch stays a no-op.
-      val metrics = EpochMetrics(queryId, epochId, eventsIn, belowWm, 0, 0, 0, 0, 0)
+    def commitNext(files: Seq[FileEntry], metrics: EpochMetrics): MergeResult = {
       val next = mPrime.copy(
         version = m.version + 1, parentVersion = m.version,
+        files = files,
         fences = m.fences + (queryId -> epochId),
         watermarks = newWatermarks,
         metrics = (m.metrics :+ metrics).takeRight(MetricsRetained))
+      // Re-check the fence immediately before publishing (defense against
+      // a concurrent replayed writer; single-writer is the contract).
+      val latest = table.manifest.get
+      require(latest.version == m.version,
+        s"concurrent writer detected at ${table.root}: v${latest.version} != v${m.version}")
       table.commit(next)
-      return MergeResult(applied = true, Some(metrics), next.version)
+      MergeResult(applied = true, Some(metrics), next.version)
+    }
+
+    if (touched.isEmpty) {
+      // Nothing fresh: metadata-only fence/watermark advance.
+      return commitNext(m.files,
+        EpochMetrics(queryId, epochId, eventsIn, belowWm, 0, 0, 0, 0, 0))
     }
 
     val fresh = events.filter(col("lsn") > wmFloor)
-
-    // ── 2. salted two-phase last-LSN-wins dedup ────────────────────────
     val payloadCols = SnapshotTable.conformColumns(events.schema, newSchema)
-    val ev = fresh.select(payloadCols ++ Seq(col("lsn"), col("op")): _*)
-    val allCols = newSchema.fieldNames.toSeq ++ Seq("lsn", "op")
-    val packed = struct(allCols.map(col): _*).as("e")
-    val ord = struct(col("lsn"), col("op"))
-    val phase1 = ev
-      .withColumn("_salt", pmod(xxhash64(col("lsn")), lit(saltBuckets.toLong)))
-      .groupBy(col("doc_id"), col("_salt"))
-      .agg(max_by(packed, ord).as("e"))
-    val staged = phase1
-      .groupBy(col("doc_id"))
-      .agg(max_by(col("e"), struct(col("e.lsn"), col("e.op"))).as("e"))
-      .select(col("e.*"))
+    val ev0 = fresh.select(payloadCols ++ Seq(col("lsn"), col("op")): _*)
 
-    val dedupObs = Observation(s"dedup-$epochId")
-    val stagedObs = staged.observe(dedupObs, count(lit(1)).as("n"))
+    // ── 2. optional salted pre-combine for hot-key storms ──────────────
+    val staged = if (saltedPreDedup) {
+      val allCols = newSchema.fieldNames.toSeq ++ Seq("lsn", "op")
+      val packed = struct(allCols.map(col): _*).as("e")
+      val ord = struct(col("lsn"), col("op"))
+      ev0
+        .withColumn("_salt", pmod(xxhash64(col("lsn")), lit(saltBuckets.toLong)))
+        .groupBy(col("doc_id"), col("_salt"))
+        .agg(max_by(packed, ord).as("e"))
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("e"), struct(col("e.lsn"), col("e.op"))).as("e"))
+        .select(col("e.*"))
+    } else ev0
 
-    // ── 3. reconcile against live rows of touched buckets only ─────────
-    val liveEntries = m.files.filter(f => touched.contains(f.bucket))
-    val live = table.readFiles(spark, mPrime, liveEntries)
-    val liveU = live.select(
-      newSchema.fieldNames.toSeq.map(col) ++
-        Seq(col(Model.LsnCol).as("lsn"), lit("K").as("op")): _*)
-
-    val winnersObs = Observation(s"winners-$epochId")
-    val winners = stagedObs.unionByName(liveU)
-      .groupBy(col("doc_id"))
-      .agg(max_by(packed, ord).as("e"))
-      .select(col("e.*"))
-      .observe(
-        winnersObs,
-        count(when(col("op") === Model.OpDelete, 1)).as("deletes"),
-        count(when(col("op") =!= Model.OpDelete, 1)).as("rows"))
-
-    val out = winners
-      .filter(col("op") =!= Model.OpDelete)
-      .select(
-        newSchema.fieldNames.toSeq.map(col) ++
-          Seq(col("lsn").as(Model.LsnCol)): _*)
-      .withColumn("_bucket", SnapshotTable.bucketOf(col("doc_id"), m.numBuckets))
-
-    // ── write new bucket files (deterministic layout) ──────────────────
     val newVersion = m.version + 1
     val outDir = table.dataDir(newVersion)
-    out
-      .repartition(col("_bucket"), col("doc_id"))
-      .sortWithinPartitions(col("_bucket"), col("doc_id"))
-      .write
+
+    if (mode == ModeMor) {
+      // ── MOR: append the batch as delta files — ZERO shuffle ─────────
+      // Delta rows keep source order within their scan splits; the
+      // hash(doc_id) salted shuffle happens exactly once per row, at
+      // compaction/read-time reconcile. Ingest cost is a scan + a write.
+      val out = staged.select(
+        newSchema.fieldNames.toSeq.map(col) ++
+          Seq(col("lsn").as(Model.LsnCol), col("op").as(Model.OpCol)): _*)
+      timed("write-delta")(out.write
+        .option("maxRecordsPerFile", 4000000)
+        .mode("overwrite")
+        .parquet(outDir.toString))
+
+      // flat layout: delta files span buckets (bucket = -1 = "all")
+      val written = table.listDataFiles(outDir)
+      val newEntries = FileStats.entries(spark, written.map(p => (p, -1)), schemaId)
+        .map(_.copy(kind = FileEntry.Delta))
+      commitNext(m.files ++ newEntries,
+        EpochMetrics(queryId, epochId, eventsIn, belowWm,
+          collapsedInBatch = 0,
+          upserts = freshCount - freshDeletes, deletes = freshDeletes,
+          rowsWritten = newEntries.map(_.rows).sum, touchedBuckets = touched.size))
+    } else {
+      // ── COW: reconcile against live rows of touched buckets (flat
+      // deltas, bucket = -1, always participate) ───────────────────────
+      val liveEntries = m.files.filter(f => f.bucket == -1 || touched.contains(f.bucket))
+      val live = table.readEntries(spark, mPrime, liveEntries)
+      val unioned = staged.unionByName(live)
+      val counters = Reconcile.Counters(
+        spark.sparkContext.longAccumulator(s"upserts-$epochId"),
+        spark.sparkContext.longAccumulator(s"deletes-$epochId"),
+        spark.sparkContext.longAccumulator(s"rows-$epochId"))
+      val winners = Reconcile.winners(spark, unioned, m.numBuckets, writeSplits, Some(counters))
+      val out = winners.select(
+        newSchema.fieldNames.toSeq.map(col) ++
+          Seq(col("lsn").as(Model.LsnCol), col("_bucket")): _*)
+      timed("write-base")(out.write
+        .option("maxRecordsPerFile", 4000000)
+        .partitionBy("_bucket")
+        .mode("overwrite")
+        .parquet(outDir.toString))
+
+      val nUpserts = counters.upserts.value.longValue
+      val nDeletes = counters.deletes.value.longValue
+      val written = timed("list-files")(table.listBucketFiles(outDir))
+      val newEntries = FileStats.entries(spark, written, schemaId)
+      val carried = m.files.filterNot(f => touched.contains(f.bucket))
+      commitNext(carried ++ newEntries,
+        EpochMetrics(queryId, epochId, eventsIn, belowWm,
+          // staged events that did not become a final row. Accumulator-
+          // backed: exact in normal runs; lineage never relies on them.
+          collapsedInBatch = freshCount - nUpserts - nDeletes,
+          upserts = nUpserts, deletes = nDeletes,
+          rowsWritten = counters.rows.value.longValue, touchedBuckets = touched.size))
+    }
+  }
+
+  /** Reconcile the merge-on-read deltas of every bucket that has any into
+    * fresh base files (tombstones drop out). Amortized maintenance —
+    * lineage (fences/watermarks) is untouched, so it can run any time
+    * between epochs. O(buckets-with-deltas), not O(table).
+    */
+  def compact(
+      spark: SparkSession,
+      table: SnapshotTable,
+      writeSplits: Int = 4): Option[Long] = {
+    val m = table.manifest.getOrElse(sys.error(s"table not initialized: ${table.root}"))
+    val deltaBuckets = m.files.filter(_.isDelta).map(_.bucket).distinct.toSet
+    if (deltaBuckets.isEmpty) return None
+
+    // bucket -1 = flat delta spanning all buckets → compact everything
+    val affected =
+      if (deltaBuckets.contains(-1)) m.files
+      else m.files.filter(f => deltaBuckets.contains(f.bucket))
+    val rows = table.readEntries(spark, m, affected)
+    val winners = Reconcile.winners(spark, rows, m.numBuckets, writeSplits)
+    val payload = DataType.fromJson(m.currentSchemaJson).asInstanceOf[StructType]
+    val out = winners.select(
+      payload.fieldNames.toSeq.map(col) ++
+        Seq(col("lsn").as(Model.LsnCol), col("_bucket")): _*)
+
+    val newVersion = m.version + 1
+    val outDir = table.dataDir(newVersion)
+    timed("compact-write")(out.write
       .option("maxRecordsPerFile", 4000000)
       .partitionBy("_bucket")
       .mode("overwrite")
-      .parquet(outDir.toString)
-
-    val nStaged = dedupObs.get("n").asInstanceOf[Long]
-    val nDeletes = winnersObs.get("deletes").asInstanceOf[Long]
-    val nRows = winnersObs.get("rows").asInstanceOf[Long]
-    val freshCount = eventsIn - belowWm
+      .parquet(outDir.toString))
 
     val written = table.listBucketFiles(outDir)
-    val newEntries = FileStats.entries(spark, written, schemaId)
-    val carried = m.files.filterNot(f => touched.contains(f.bucket))
-      // old files must be re-tagged only if schema evolved? No — schemaId
-      // stays pointing at the schema they were written under.
-
-    val metrics = EpochMetrics(
-      queryId = queryId, epochId = epochId,
-      eventsIn = eventsIn, belowWatermark = belowWm,
-      collapsedInBatch = freshCount - nStaged,
-      upserts = nStaged, deletes = nDeletes,
-      rowsWritten = nRows, touchedBuckets = touched.size)
-
-    val next = mPrime.copy(
+    val newEntries = FileStats.entries(spark, written, m.schemas.size - 1)
+    val affectedSet = affected.map(_.path).toSet
+    val carried = m.files.filterNot(f => affectedSet.contains(f.path))
+    val next = m.copy(
       version = newVersion, parentVersion = m.version,
-      files = carried ++ newEntries,
-      fences = m.fences + (queryId -> epochId),
-      watermarks = newWatermarks,
-      metrics = (m.metrics :+ metrics).takeRight(MetricsRetained))
-
-    // Re-check the fence immediately before publishing (defense against a
-    // concurrent replayed writer; single-writer is the design contract).
+      files = carried ++ newEntries)
     val latest = table.manifest.get
     require(latest.version == m.version,
-      s"concurrent writer detected at ${table.root}: v${latest.version} != v${m.version}")
+      s"concurrent writer detected at ${table.root} during compaction")
     table.commit(next)
-    MergeResult(applied = true, Some(metrics), newVersion)
+    Some(newVersion)
   }
 }

@@ -47,8 +47,17 @@ object Model {
     */
   val LsnCol = "_lsn"
 
+  /** Internal op column inside DELTA data files (merge-on-read): raw
+    * change rows carry their op, including 'D' tombstones, until
+    * compaction reconciles them.
+    */
+  val OpCol = "_op"
+
+  /** Op marker for already-reconciled live rows during reconcile. */
+  val OpKeep = "K"
+
   /** Columns that are engine metadata, not payload. */
-  val metaCols: Set[String] = Set("lsn", "partition", "op", "ts", LsnCol)
+  val metaCols: Set[String] = Set("lsn", "partition", "op", "ts", LsnCol, OpCol, "_bucket")
 }
 
 case class TokenDoc(doc_id: String, tokens: Array[Int], n_tok: Int, source: String)

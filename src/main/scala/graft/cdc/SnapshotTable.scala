@@ -82,31 +82,58 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16) {
   def conformTo(df: DataFrame, target: StructType): DataFrame =
     df.select(SnapshotTable.conformColumns(df.schema, target): _*)
 
-  /** Read the rows of the given file entries, conformed to the current
-    * schema (+ `_lsn`). Files are grouped by their written schemaId so a
-    * physical int32 column widened to long is cast, never mis-read.
+  /** Read the given file entries as uniform change rows: payload columns
+    * (conformed to the current schema) + `lsn` + `op`. Base files surface
+    * op='K' (already reconciled); delta files surface their stored `_op`
+    * including delete tombstones. Files are grouped by their written
+    * schemaId so a physical int32 column widened to long is cast, never
+    * mis-read.
     */
-  private[cdc] def readFiles(spark: SparkSession, m: Manifest, entries: Seq[FileEntry]): DataFrame = {
-    val target = DataType.fromJson(m.currentSchemaJson).asInstanceOf[StructType]
-      .add(Model.LsnCol, LongType, nullable = false)
+  private[cdc] def readEntries(spark: SparkSession, m: Manifest, entries: Seq[FileEntry]): DataFrame = {
+    val payload = DataType.fromJson(m.currentSchemaJson).asInstanceOf[StructType]
+    val target = StructType(payload.fields)
+      .add("lsn", LongType, nullable = false)
+      .add("op", StringType, nullable = false)
     if (entries.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
     } else {
-      entries.groupBy(_.schemaId).toSeq.sortBy(_._1).map { case (sid, fs) =>
-        val written = DataType.fromJson(m.schemas(sid)).asInstanceOf[StructType]
-          .add(Model.LsnCol, LongType, nullable = false)
-        val df = spark.read.schema(written).parquet(fs.map(_.path): _*)
-        conformTo(df, target)
+      entries.groupBy(f => (f.schemaId, f.isDelta)).toSeq.sortBy(g => (g._1._1, g._1._2)).map {
+        case ((sid, isDelta), fs) =>
+          val base = DataType.fromJson(m.schemas(sid)).asInstanceOf[StructType]
+            .add(Model.LsnCol, LongType, nullable = false)
+          val written = if (isDelta) base.add(Model.OpCol, StringType, nullable = false) else base
+          val df = spark.read.schema(written).parquet(fs.map(_.path): _*)
+          val opCol = if (isDelta) col(Model.OpCol) else lit(Model.OpKeep)
+          df.select(SnapshotTable.conformColumns(df.schema, payload) ++
+            Seq(col(Model.LsnCol).as("lsn"), opCol.as("op")): _*)
       }.reduce(_.unionByName(_))
     }
   }
 
-  /** Current snapshot as a DataFrame of payload columns. */
+  /** Current snapshot as a DataFrame of payload columns. Base-only
+    * snapshots read the files directly; snapshots with merge-on-read
+    * deltas reconcile (last-LSN-wins, tombstones drop rows) on the fly.
+    */
   def read(spark: SparkSession): DataFrame = readWithLsn(spark).drop(Model.LsnCol)
 
   def readWithLsn(spark: SparkSession): DataFrame = {
     val m = manifest.getOrElse(sys.error(s"no such table: $root"))
-    readFiles(spark, m, m.files)
+    val payloadNames = DataType.fromJson(m.currentSchemaJson).asInstanceOf[StructType].fieldNames.toSeq
+    val rows = readEntries(spark, m, m.files)
+    val resolved =
+      if (m.files.exists(_.isDelta))
+        Reconcile.winners(spark, rows, m.numBuckets, writeSplits = 4)
+      else rows
+    resolved.select(payloadNames.map(col) ++ Seq(col("lsn").as(Model.LsnCol)): _*)
+  }
+
+  /** List part files of a flat (non-partitioned) output dir. */
+  private[cdc] def listDataFiles(dir: Path): Seq[String] = {
+    if (!Files.exists(dir)) return Seq.empty
+    Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .map(_.toString).toSeq.sorted
   }
 
   /** List the part files Spark wrote under a partitionBy("_bucket") output
