@@ -164,7 +164,7 @@ object AggOps extends QueryPack {
         |  CAST(100 AS DOUBLE) * n_finished / n_orders AS pct_finished
         |FROM (
         |  SELECT o_orderpriority, count(*) AS n_orders,
-        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
         |  FROM orders GROUP BY 1)
         |ORDER BY o_orderpriority""".stripMargin,
 
@@ -173,7 +173,7 @@ object AggOps extends QueryPack {
          |  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
          |    ${dsumSql("o_totalprice")} AS rev
          |  FROM orders GROUP BY 1)
-         |SELECT year(m) AS o_year, sum(n_orders) AS total_orders,
+         |SELECT year(m) AS o_year, CAST(sum(n_orders) AS BIGINT) AS total_orders,
          |  ${dsumSql("rev")} AS total_rev,
          |  ${dsumSql("rev / n_orders")} / count(*) AS avg_of_monthly_avg_price
          |FROM monthly GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -211,10 +211,10 @@ object AggOps extends QueryPack {
         |  CAST(100 AS DOUBLE) * n_returned / n_rows AS pct_returned
         |FROM (
         |  SELECT year(l_shipdate) AS ship_year, count(*) AS n_rows,
-        |    sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS n_high_disc,
-        |    sum(CASE WHEN l_tax > 0.06 THEN 1 ELSE 0 END) AS n_high_tax,
-        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
-        |    sum(CASE WHEN l_extendedprice > 50000.0 THEN 1 ELSE 0 END) AS n_pricey
+        |    CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
+        |    CAST(sum(CASE WHEN l_tax > 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_tax,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        |    CAST(sum(CASE WHEN l_extendedprice > 50000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pricey
         |  FROM lineitem GROUP BY 1)
         |ORDER BY ship_year""".stripMargin
   )

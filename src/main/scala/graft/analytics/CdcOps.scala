@@ -105,16 +105,30 @@ object CdcOps extends QueryPack {
 
   def queries: Map[String, Query] = Map(
     // The north-star path: stream-tail → MERGE → snapshot, end-to-end.
+    // The token array is projected through a deterministic md5 fingerprint
+    // so the driver's pandas-based hash compare can sort/factorize the
+    // column (a raw list column crashes its lexsort); raw element-wise
+    // array equality stays covered by ReplayEqualitySpec / FoldOracle.
     "q50_cdc_replay" -> { (s, dir) =>
-      replayFor(s, dir).read(s).orderBy("doc_id")
+      import s.implicits._
+      replayFor(s, dir).read(s)
+        .select($"doc_id",
+          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
+          $"n_tok", $"source")
+        .orderBy("doc_id")
     },
-    // Lineage + per-epoch metrics of the same replay (committed atomically
-    // with the data; rows-only check — engine-internal state has no SQL
-    // equivalent).
+    // Lineage + per-epoch metrics of the same replay, committed atomically
+    // with the data. Every column here is derivable in SQL from the
+    // deterministic changelog rules (header comment) — except
+    // touchedBuckets, which depends on Spark's xxhash64 bucket assignment
+    // (not reproducible in DuckDB; asserted in CdcLineageSpec instead).
     "q51_cdc_lineage" -> { (s, dir) =>
       import s.implicits._
       val m = replayFor(s, dir).manifest.get
-      m.metrics.toDF().orderBy("queryId", "epochId")
+      m.metrics.toDF()
+        .select($"queryId", $"epochId", $"eventsIn", $"belowWatermark",
+          $"collapsedInBatch", $"upserts", $"deletes", $"rowsWritten")
+        .orderBy("queryId", "epochId")
     }
   )
 
@@ -129,11 +143,48 @@ object CdcOps extends QueryPack {
          |    source
          |  FROM documents)
          |SELECT doc_id,
-         |  CASE WHEN did % 5 = 0
-         |       THEN list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT))
-         |       ELSE base_toks END AS tokens,
+         |  md5(array_to_string(
+         |    CASE WHEN did % 5 = 0
+         |         THEN list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT))
+         |         ELSE base_toks END, ',')) AS tokens_fp,
          |  CAST(len(base_toks) AS INT) AS n_tok,
          |  source
-         |FROM toks WHERE did % 17 <> 0 ORDER BY doc_id""".stripMargin
+         |FROM toks WHERE did % 17 <> 0 ORDER BY doc_id""".stripMargin,
+
+    // Per-epoch metrics, re-derived from the changelog rules: epoch k
+    // carries the fresh events of chunk k (insert per doc; update if
+    // did%5==0; delete if did%17==0) plus the re-delivered inserts of
+    // chunk k-1's did%13==0 docs — every re-delivery lands at or below its
+    // partition's LSN watermark (its own insert already advanced it), so
+    // belowWatermark == dup count, and MOR ingest writes exactly the fresh
+    // rows (collapsedInBatch == 0).
+    "q51_cdc_lineage" ->
+      """WITH chunked AS (
+        |  SELECT doc_id AS did,
+        |    CAST(doc_id // (SELECT max(doc_id) // 4 + 1 FROM documents) AS BIGINT) AS k
+        |  FROM documents),
+        |perchunk AS (
+        |  SELECT k,
+        |    count(*) AS n_ins,
+        |    count(*) FILTER (WHERE did % 5 = 0) AS n_upd,
+        |    count(*) FILTER (WHERE did % 17 = 0) AS n_del,
+        |    count(*) FILTER (WHERE did % 13 = 0) AS n_dup13
+        |  FROM chunked GROUP BY k),
+        |epochs AS (
+        |  SELECT e.k,
+        |    coalesce(p.n_ins, 0) AS n_ins, coalesce(p.n_upd, 0) AS n_upd,
+        |    coalesce(p.n_del, 0) AS n_del,
+        |    coalesce(prev.n_dup13, 0) AS n_dups
+        |  FROM (SELECT unnest([0, 1, 2, 3, 4]) AS k) e
+        |  LEFT JOIN perchunk p ON p.k = e.k
+        |  LEFT JOIN perchunk prev ON prev.k = e.k - 1)
+        |SELECT 'cdc-ingest' AS "queryId", CAST(k AS BIGINT) AS "epochId",
+        |  CAST(n_ins + n_upd + n_del + n_dups AS BIGINT) AS "eventsIn",
+        |  CAST(n_dups AS BIGINT) AS "belowWatermark",
+        |  CAST(0 AS BIGINT) AS "collapsedInBatch",
+        |  CAST(CASE WHEN n_ins + n_upd + n_del > 0 THEN n_ins + n_upd ELSE 0 END AS BIGINT) AS "upserts",
+        |  CAST(n_del AS BIGINT) AS "deletes",
+        |  CAST(n_ins + n_upd + n_del AS BIGINT) AS "rowsWritten"
+        |FROM epochs ORDER BY k""".stripMargin
   )
 }

@@ -138,8 +138,8 @@ object EventOps extends QueryPack {
 
     "q22_validation_split" ->
       """SELECT event_type, count(*) AS n_total,
-        |  sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_valid,
-        |  sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS n_quarantined
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
         |FROM (
         |  SELECT event_type,
         |    value IS NOT NULL AND value > 0.0 AND value <= 400.0
@@ -171,7 +171,7 @@ object EventOps extends QueryPack {
         |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1
         |         ELSE 0 END AS is_new_session
         |  FROM gaps)
-        |SELECT user_id, sum(is_new_session) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(is_new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -225,7 +225,7 @@ object JoinOps extends QueryPack {
     "q13_share_shift" ->
       """WITH yearly AS (
         |  SELECT year(o_orderdate) AS o_year, count(*) AS n_orders,
-        |    sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open
+        |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open
         |  FROM orders GROUP BY 1),
         |pcts AS (
         |  SELECT o_year, n_orders, n_open,

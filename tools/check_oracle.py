@@ -47,7 +47,17 @@ for name in sorted(os.listdir(out)):
     hg, ng = canon(got)
     he, ne = canon(exp)
     cols_ok = sorted(got.columns) == sorted(exp.columns)
-    ok = cols_ok and hg == he
+    # dtype-KIND parity: the driver stringifies raw values, so an int64
+    # Spark column vs a HUGEINT->float64/object DuckDB column mismatches
+    # there ('2' vs '2.0') even when canon()'s %.9g hides it. Width
+    # differences (int32 vs int64) stringify identically and are fine.
+    dtypes_ok = cols_ok and all(
+        got[c].dtype.kind == exp[c].dtype.kind for c in got.columns)
+    if cols_ok and not dtypes_ok:
+        bad = [(c, str(got[c].dtype), str(exp[c].dtype))
+               for c in got.columns if got[c].dtype.kind != exp[c].dtype.kind]
+        print(f"{name:28s} DTYPE-KIND MISMATCH (spark vs oracle): {bad}")
+    ok = cols_ok and dtypes_ok and hg == he
     print(f"{name:28s} rows={ng}/{ne} cols={'OK' if cols_ok else sorted(got.columns)+['!=']+sorted(exp.columns)} hash={'MATCH' if hg==he else 'MISMATCH'}")
     if not ok:
         fails += 1
