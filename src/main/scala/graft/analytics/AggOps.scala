@@ -111,7 +111,9 @@ object AggOps extends QueryPack {
       // (insight_route_pricing.sql:3-19, A6).
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
-      val agg = o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      // customer scales with the fact side — no broadcast hint; AQE picks
+      // broadcast at small SF and a shuffle join at scale
+      val agg = o.join(c, $"o_custkey" === $"c_custkey")
         .withColumn("route", concat($"c_mktsegment", lit(" -> "), $"o_orderpriority"))
         .groupBy($"route")
         .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("rev"))

@@ -137,29 +137,51 @@ object DedupOps extends QueryPack {
        |  $bandRows)""".stripMargin
   }
 
-  /** LSH candidate pairs, memoized per sfDir (q35 and q37 share them;
-    * the pair set is tiny — collisions only).
+  /** LSH candidate pairs, memoized per input snapshot (q35 and q37 share
+    * them) as a PERSISTED DataFrame — never collected to the driver: at
+    * corpus scale the collision set is millions of pairs, so the pair set
+    * must stay distributed end-to-end (the band-bucket equi-join is the
+    * whole point of LSH). The cache key fingerprints the underlying
+    * parquet listing (name/size/mtime), not just the path, so data
+    * replaced under the same directory invalidates the memo.
     */
-  private val pairCache = scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Long)]]
+  private val pairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Test/bench hook. */
-  private[graft] def clearCache(): Unit = pairCache.clear()
+  private[graft] def clearCache(): Unit = {
+    pairCache.values.foreach(df => { df.unpersist(); () })
+    pairCache.clear()
+  }
+
+  private def cacheKey(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(s"$dir/documents.parquet")
+    val listing =
+      if (!Files.exists(p)) "absent"
+      else if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.map(f =>
+          s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+          .toSeq.sorted.mkString(";")
+      else s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    s"$dir|$listing"
+  }
 
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cached = pairCache.getOrElseUpdate(dir, {
-      // persist: the signature pipeline feeds 4 band projections × 2 join
-      // sides — without it Catalyst re-evaluates the hash pipeline 8×
+    pairCache.getOrElseUpdate(cacheKey(dir), {
+      // persist the signatures while building: the pipeline feeds 2 join
+      // sides — without it Catalyst re-evaluates the hash pipeline twice
       val b = bandSignatures(s, dir).persist()
-      try {
-        val a1 = b.select($"doc_id".as("d1"), $"band", $"band_key")
-        val a2 = b.select($"doc_id".as("d2"), $"band", $"band_key")
-        a1.join(a2, Seq("band", "band_key")).filter($"d1" < $"d2")
-          .select($"d1", $"d2").distinct()
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-      } finally { b.unpersist(); () }
+      val a1 = b.select($"doc_id".as("d1"), $"band", $"band_key")
+      val a2 = b.select($"doc_id".as("d2"), $"band", $"band_key")
+      val pairs = a1.join(a2, Seq("band", "band_key")).filter($"d1" < $"d2")
+        .select($"d1", $"d2").distinct()
+        .persist()
+      pairs.count() // materialize now so the signature cache can be freed
+      b.unpersist()
+      pairs
     })
-    cached.toDF("d1", "d2")
   }
 
   private val duckCandidatePairs =

@@ -13,10 +13,14 @@ import graft.util.Tables
   * insight_covid_recovery.sql:4-23, insight_uber_effect.sql:4-26,
   * insight_zone_heatmap.sql:3-41.
   *
-  * Scale notes: every dimension side is `broadcast()` (4–265 rows in the
-  * reference; ≤200 here) so the fact side never shuffles; the heatmap
-  * percent_rank window runs on the *aggregated* relation (≤ hundreds of
-  * rows), never on event-scale data — same discipline as the reference.
+  * Scale notes — the dim contract: a side gets an explicit `broadcast()`
+  * hint ONLY if its cardinality is bounded by the data model (nation=25,
+  * the reference's 4–265-row dims, 1-row argmax/min subqueries). Tables
+  * that scale with the fact side (orders/customer/supplier) are joined
+  * unhinted: AQE broadcasts them while small and shuffle-joins at scale.
+  * The heatmap percent_rank window runs on the *aggregated* relation
+  * (≤ hundreds of rows), never on event-scale data — same discipline as
+  * the reference.
   */
 object JoinOps extends QueryPack {
 
@@ -31,8 +35,11 @@ object JoinOps extends QueryPack {
       val o = Tables.load(s, dir, "orders")
       val monthly = o.groupBy(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"))
         .agg(count(lit(1)).as("n_orders"))
-      val y0 = monthly.agg(min($"o_year")).head().getInt(0)
-      val baseline = monthly.filter($"o_year" === y0)
+      // scalar-subquery shape kept fully inside the plan: the 1-row min
+      // broadcasts into a join instead of a driver-side .head() action
+      // (which would run the aggregation twice and serialize the plan)
+      val minYear = monthly.agg(min($"o_year").as("y0"))
+      val baseline = monthly.join(broadcast(minYear), $"o_year" === $"y0")
         .select($"o_month", $"n_orders".as("baseline_orders"))
       monthly.join(broadcast(baseline), Seq("o_month"), "left")
         .withColumn("pct_of_baseline", lit(100.0) * $"n_orders" / $"baseline_orders")
@@ -85,9 +92,13 @@ object JoinOps extends QueryPack {
 
     "q11_obt_join" -> { (s, dir) =>
       import s.implicits._
-      // One-big-table: fact × 4 broadcast dims incl. role-playing nation
-      // (customer-side and supplier-side), post-join flags
-      // (obt_trips.sql:3-28, J1).
+      // One-big-table with role-playing nation dims (obt_trips.sql:3-28,
+      // J1). Broadcast discipline: only the genuinely bounded dimensions
+      // (nation — 25 rows, like the reference's 4–265-row dims) get an
+      // explicit broadcast hint. orders/customer/supplier SCALE WITH THE
+      // FACT table, so their joins are left to the planner — AQE
+      // broadcasts them while they're small and shuffle-joins them at
+      // scale; a hard broadcast hint would OOM at 100×.
       val li = Tables.load(s, dir, "lineitem")
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
@@ -95,10 +106,10 @@ object JoinOps extends QueryPack {
       val n = Tables.load(s, dir, "nation")
       val cn = n.select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
       val sn = n.select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
-      li.join(broadcast(o), $"l_orderkey" === $"o_orderkey", "left")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey", "left")
+      li.join(o, $"l_orderkey" === $"o_orderkey", "left")
+        .join(c, $"o_custkey" === $"c_custkey", "left")
         .join(broadcast(cn), $"c_nationkey" === $"cn_key", "left")
-        .join(broadcast(su), $"l_suppkey" === $"s_suppkey", "left")
+        .join(su, $"l_suppkey" === $"s_suppkey", "left")
         .join(broadcast(sn), $"s_nationkey" === $"sn_key", "left")
         .select(
           $"l_orderkey", $"l_linenumber", $"cust_nation", $"supp_nation",

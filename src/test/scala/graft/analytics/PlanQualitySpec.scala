@@ -19,11 +19,33 @@ class PlanQualitySpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
-  test("q11 OBT: all five dimension joins are broadcast hash joins") {
+  test("q11 OBT: dims broadcast by hint, fact-fact joins do NOT (dim contract)") {
+    // Disable size-based auto-broadcast so the executed plan shows the
+    // DECLARED join strategy: only bounded dims (nation ×2 role-playing)
+    // carry broadcast hints; lineitem⋈orders⋈customer⋈supplier must
+    // stay shuffle joins — a fact-side broadcast hint OOMs at 100×.
+    Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val p = plan("q11_obt_join")
+      val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+      val shuffles = ("SortMergeJoin".r.findAllIn(p).size
+        + "ShuffledHashJoin".r.findAllIn(p).size)
+      assert(broadcasts == 2, s"expected exactly 2 hinted dim broadcasts, got $broadcasts\n$p")
+      assert(shuffles == 3, s"expected 3 shuffle joins for fact-scale sides, got $shuffles\n$p")
+    } finally
+      Seq("spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        .foreach(k => spark.conf.unset(k))
+  }
+
+  test("q11 OBT: with AQE size heuristics on, small sides still broadcast locally") {
+    // At sf0.001 every side is tiny — AQE should pick broadcasts on its
+    // own, confirming the unhinted joins don't force a shuffle at small SF.
     val p = plan("q11_obt_join")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
-    assert(broadcasts >= 5, s"expected >=5 broadcast joins, got $broadcasts\n$p")
-    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+    assert(broadcasts >= 4, s"AQE did not broadcast small sides: got $broadcasts\n$p")
   }
 
   test("q14 surrogate key: parquet scan prunes to the referenced columns") {
@@ -76,5 +98,15 @@ class PlanQualitySpec extends SparkSpec {
     val df = graft.SparkEntry.queries("q35_minhash_lsh")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q35 LSH pairs stay distributed: no driver round-trip in the plan") {
+    // A collect()-and-reparallelize would surface as a LocalTableScan of
+    // the pair set; the memoized pair DataFrame must be an InMemory scan.
+    val df = graft.SparkEntry.queries("q35_minhash_lsh")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("LocalTableScan"), s"pair set was collected to the driver:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("Exchange"),
+      s"expected a distributed (cached or shuffled) pair source:\n$p")
   }
 }
