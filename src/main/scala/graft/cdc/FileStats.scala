@@ -26,25 +26,38 @@ object FileStats {
   private def entry(conf: org.apache.hadoop.conf.Configuration, path: String,
       bucket: Int, schemaId: Int): FileEntry = {
     {
-      val (rows, minLsn, maxLsn) = Try {
+      val (rows, minLsn, maxLsn, bLo, bHi) = Try {
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(path), conf))
         try {
           val blocks = reader.getFooter.getBlocks.asScala
           val rows = blocks.map(_.getRowCount).sum
-          val lsnStats = blocks.flatMap { b =>
+          def colStats(name: String) = blocks.flatMap { b =>
             b.getColumns.asScala
-              .find(_.getPath.toDotString == Model.LsnCol)
+              .find(_.getPath.toDotString == name)
               .map(_.getStatistics)
               .filter(s => s != null && s.hasNonNullValue)
           }
+          val lsnStats = colStats(Model.LsnCol)
           val mins = lsnStats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue)
           val maxs = lsnStats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+          // delta files carry a `_bucket` int column (written locally
+          // sorted): its footer min/max is the file's bucket range — the
+          // metadata compaction/read pruning keys off
+          val bStats = colStats(Model.BucketCol)
+          val bLos = bStats.map(_.genericGetMin.asInstanceOf[java.lang.Integer].intValue)
+          val bHis = bStats.map(_.genericGetMax.asInstanceOf[java.lang.Integer].intValue)
           (rows,
             if (mins.nonEmpty) mins.min else Long.MinValue,
-            if (maxs.nonEmpty) maxs.max else Long.MaxValue)
+            if (maxs.nonEmpty) maxs.max else Long.MaxValue,
+            if (bLos.nonEmpty) bLos.min else -1,
+            if (bHis.nonEmpty) bHis.max else -1)
         } finally reader.close()
-      }.getOrElse((-1L, Long.MinValue, Long.MaxValue))
-      FileEntry(path, bucket, schemaId, minLsn, maxLsn, rows, FileEntry.Base)
+      }.getOrElse((-1L, Long.MinValue, Long.MaxValue, -1, -1))
+      val (lo, hi) =
+        if (bLo >= 0) (bLo, bHi)
+        else if (bucket >= 0) (bucket, bucket)
+        else (0, Int.MaxValue)
+      FileEntry(path, bucket, schemaId, minLsn, maxLsn, rows, FileEntry.Base, lo, hi)
     }
   }
 }

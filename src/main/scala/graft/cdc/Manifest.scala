@@ -4,10 +4,15 @@ import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 
 /** One immutable data file owned by a snapshot: `bucket` is the
-  * hash(doc_id) bucket it stores (bucket pruning on merge), `schemaId`
-  * indexes [[Manifest.schemas]] (files written before a schema evolution
-  * keep their original physical schema and are conformed on read),
-  * min/max LSN support file-skipping.
+  * hash(doc_id) bucket it stores for BASE files (exactly one bucket per
+  * base file, from the partitioned write); DELTA files are written
+  * locally sorted by `_bucket` without a shuffle, so each carries the
+  * [bucketLo, bucketHi] range observed in its parquet footer — compaction
+  * and read-time reconcile touch only the buckets some delta range
+  * covers (O(dirty buckets), not O(table)). `schemaId` indexes
+  * [[Manifest.schemas]] (files written before a schema evolution keep
+  * their original physical schema and are conformed on read), min/max
+  * LSN support file-skipping.
   */
 case class FileEntry(
     path: String,
@@ -16,15 +21,25 @@ case class FileEntry(
     minLsn: Long,
     maxLsn: Long,
     rows: Long,
-    kind: String) {
+    kind: String,
+    bucketLo: Int = 0,
+    bucketHi: Int = Int.MaxValue) {
   def isDelta: Boolean = kind == FileEntry.Delta
+
+  /** Buckets this file may contain rows of (conservative for deltas). */
+  def coveredBuckets(numBuckets: Int): Range =
+    if (isDelta) math.max(0, bucketLo) to math.min(bucketHi, numBuckets - 1)
+    else bucket to bucket
+
+  def covers(b: Int): Boolean =
+    if (isDelta) b >= bucketLo && b <= bucketHi else b == bucket
 }
 
 object FileEntry {
   /** Fully reconciled rows (payload + _lsn). */
   val Base = "base"
   /** Merge-on-read delta: raw change rows (payload + _lsn + _op incl.
-    * delete tombstones), reconciled at read/compaction.
+    * delete tombstones + _bucket), reconciled at read/compaction.
     */
   val Delta = "delta"
 }
@@ -89,8 +104,20 @@ object Manifest {
       if (n == null) Map.empty
       else n.fieldNames().asScala.map(k => k -> n.get(k).asLong()).toMap
     }
+    // Older manifests lack kind/bucketLo/bucketHi (Jackson zero-fills
+    // missing ints): default kind to Base and bucket ranges to the exact
+    // bucket for base files / full range for flat deltas.
+    val filesNode = node.get("files")
+    val patchedFiles = m.files.zipWithIndex.map { case (f0, i) =>
+      val f = if (f0.kind == null) f0.copy(kind = FileEntry.Base) else f0
+      val hasRange = filesNode != null && filesNode.get(i) != null &&
+        filesNode.get(i).has("bucketLo")
+      if (hasRange) f
+      else if (f.isDelta || f.bucket < 0) f.copy(bucketLo = 0, bucketHi = Int.MaxValue)
+      else f.copy(bucketLo = f.bucket, bucketHi = f.bucket)
+    }
     m.copy(
       fences = longMap("fences"), watermarks = longMap("watermarks"),
-      files = m.files.map(f => if (f.kind == null) f.copy(kind = FileEntry.Base) else f))
+      files = patchedFiles)
   }
 }

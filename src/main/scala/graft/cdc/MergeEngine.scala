@@ -28,13 +28,16 @@ import org.apache.spark.sql.types._
   *      slipped past 0–2 can never regress a newer row; deletes drop it.
   *
   * Two write modes:
-  *   - MERGE-ON-READ (default): the batch alone is shuffled into DELTA
-  *     files (payload + _lsn + _op, delete tombstones included); readers
-  *     and periodic [[compact]] runs apply [[Reconcile]]. Ingest cost is
-  *     O(batch) — the table is never rewritten on the hot path, which is
-  *     what survives a 10^10-event log. Compaction safety relies on
-  *     per-partition key affinity (a doc's events share a source
-  *     partition), the same contract every log-compacted system assumes.
+  *   - MERGE-ON-READ (default): the batch alone is written into DELTA
+  *     files (payload + _lsn + _op + _bucket, delete tombstones included)
+  *     with a shuffle-free local sort on _bucket, so every delta file's
+  *     footer bounds the bucket range it touches; readers and periodic
+  *     [[compact]] runs apply [[Reconcile]] to the DIRTY buckets only
+  *     (O(dirty buckets), not O(table)). Ingest cost is O(batch) — the
+  *     table is never rewritten on the hot path, which is what survives a
+  *     10^10-event log. Compaction safety relies on per-partition key
+  *     affinity (a doc's events share a source partition), the same
+  *     contract every log-compacted system assumes.
   *   - COPY-ON-WRITE: the classic eager variant — batch ∪ live rows of
   *     touched buckets reconcile and rewrite those buckets; reads stay
   *     plain scans. O(touched buckets) per epoch.
@@ -169,18 +172,27 @@ object MergeEngine {
 
     if (mode == ModeMor) {
       // ── MOR: append the batch as delta files — ZERO shuffle ─────────
-      // Delta rows keep source order within their scan splits; the
-      // hash(doc_id) salted shuffle happens exactly once per row, at
+      // Rows gain a `_bucket` column and a LOCAL (per-task) sort on it —
+      // no repartition — so each written file's footer min/max bounds the
+      // bucket range it touches. A bucket-targeted epoch therefore yields
+      // narrow-range delta files, and compaction/read-time reconcile
+      // touch only those buckets (O(dirty buckets)); the salted
+      // hash(doc_id) shuffle still happens exactly once per row, at
       // compaction/read-time reconcile. Ingest cost is a scan + a write.
-      val out = staged.select(
-        newSchema.fieldNames.toSeq.map(col) ++
-          Seq(col("lsn").as(Model.LsnCol), col("op").as(Model.OpCol)): _*)
+      val out = staged
+        .withColumn(Model.BucketCol, SnapshotTable.bucketOf(col("doc_id"), m.numBuckets))
+        .select(
+          newSchema.fieldNames.toSeq.map(col) ++
+            Seq(col("lsn").as(Model.LsnCol), col("op").as(Model.OpCol),
+              col(Model.BucketCol)): _*)
+        .sortWithinPartitions(Model.BucketCol)
       timed("write-delta")(out.write
         .option("maxRecordsPerFile", 4000000)
         .mode("overwrite")
         .parquet(outDir.toString))
 
-      // flat layout: delta files span buckets (bucket = -1 = "all")
+      // bucket = -1 = "range file"; the real coverage is [bucketLo,
+      // bucketHi] from the footer stats
       val written = table.listDataFiles(outDir)
       val newEntries = FileStats.entries(spark, written.map(p => (p, -1)), schemaId)
         .map(_.copy(kind = FileEntry.Delta))
@@ -190,9 +202,16 @@ object MergeEngine {
           upserts = freshCount - freshDeletes, deletes = freshDeletes,
           rowsWritten = newEntries.map(_.rows).sum, touchedBuckets = touched.size))
     } else {
-      // ── COW: reconcile against live rows of touched buckets (flat
-      // deltas, bucket = -1, always participate) ───────────────────────
-      val liveEntries = m.files.filter(f => f.bucket == -1 || touched.contains(f.bucket))
+      // ── COW: reconcile against live rows of touched buckets. Any MOR
+      // delta files present (mode switch) are consumed whole — their
+      // bucket ranges expand the rewrite set, and they are dropped from
+      // the carried list once folded in, so a COW commit always leaves
+      // the table base-only (no double-carried rows). ──────────────────
+      val deltas = m.files.filter(_.isDelta)
+      val touchedEff: Set[Int] =
+        touched.toSet ++ deltas.flatMap(_.coveredBuckets(m.numBuckets))
+      val liveEntries = m.files.filter(f =>
+        f.isDelta || touchedEff.contains(f.bucket))
       val live = table.readEntries(spark, mPrime, liveEntries)
       val unioned = staged.unionByName(live)
       val counters = Reconcile.Counters(
@@ -213,7 +232,8 @@ object MergeEngine {
       val nDeletes = counters.deletes.value.longValue
       val written = timed("list-files")(table.listBucketFiles(outDir))
       val newEntries = FileStats.entries(spark, written, schemaId)
-      val carried = m.files.filterNot(f => touched.contains(f.bucket))
+      val consumed = liveEntries.map(_.path).toSet
+      val carried = m.files.filterNot(f => consumed.contains(f.path))
       commitNext(carried ++ newEntries,
         EpochMetrics(queryId, epochId, eventsIn, belowWm,
           // staged events that did not become a final row. Accumulator-
@@ -234,13 +254,14 @@ object MergeEngine {
       table: SnapshotTable,
       writeSplits: Int = 4): Option[Long] = {
     val m = table.manifest.getOrElse(sys.error(s"table not initialized: ${table.root}"))
-    val deltaBuckets = m.files.filter(_.isDelta).map(_.bucket).distinct.toSet
-    if (deltaBuckets.isEmpty) return None
+    val deltas = m.files.filter(_.isDelta)
+    if (deltas.isEmpty) return None
 
-    // bucket -1 = flat delta spanning all buckets → compact everything
-    val affected =
-      if (deltaBuckets.contains(-1)) m.files
-      else m.files.filter(f => deltaBuckets.contains(f.bucket))
+    // Dirty = union of the delta files' bucket ranges (footer-derived).
+    // Only dirty buckets' base files are read and rewritten; clean
+    // buckets carry their files forward untouched — O(dirty buckets).
+    val dirty: Set[Int] = deltas.flatMap(_.coveredBuckets(m.numBuckets)).toSet
+    val affected = m.files.filter(f => f.isDelta || dirty.contains(f.bucket))
     val rows = table.readEntries(spark, m, affected)
     val winners = Reconcile.winners(spark, rows, m.numBuckets, writeSplits)
     val payload = DataType.fromJson(m.currentSchemaJson).asInstanceOf[StructType]

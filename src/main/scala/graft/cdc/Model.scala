@@ -56,6 +56,12 @@ object Model {
   /** Op marker for already-reconciled live rows during reconcile. */
   val OpKeep = "K"
 
+  /** Internal column carrying the hash(doc_id) bucket inside DELTA data
+    * files: written locally sorted so each file's footer min/max bounds
+    * the buckets it touches (file-level dirty-bucket metadata).
+    */
+  val BucketCol = "_bucket"
+
   /** Columns that are engine metadata, not payload. */
   val metaCols: Set[String] = Set("lsn", "partition", "op", "ts", LsnCol, OpCol, "_bucket")
 }

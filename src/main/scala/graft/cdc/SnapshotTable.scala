@@ -112,20 +112,60 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16) {
 
   /** Current snapshot as a DataFrame of payload columns. Base-only
     * snapshots read the files directly; snapshots with merge-on-read
-    * deltas reconcile (last-LSN-wins, tombstones drop rows) on the fly.
+    * deltas reconcile (last-LSN-wins, tombstones drop rows) on the fly —
+    * but ONLY the buckets some delta range covers: clean buckets' base
+    * files stream through with no shuffle (O(dirty buckets) read
+    * overhead, not O(table)).
     */
   def read(spark: SparkSession): DataFrame = readWithLsn(spark).drop(Model.LsnCol)
 
   def readWithLsn(spark: SparkSession): DataFrame = {
     val m = manifest.getOrElse(sys.error(s"no such table: $root"))
-    val payloadNames = DataType.fromJson(m.currentSchemaJson).asInstanceOf[StructType].fieldNames.toSeq
-    val rows = readEntries(spark, m, m.files)
-    val resolved =
-      if (m.files.exists(_.isDelta))
-        Reconcile.winners(spark, rows, m.numBuckets, writeSplits = 4)
-      else rows
-    resolved.select(payloadNames.map(col) ++ Seq(col("lsn").as(Model.LsnCol)): _*)
+    readResolved(spark, m, m.files)
   }
+
+  /** Reconcile-if-needed read of a file subset: dirty buckets (covered by
+    * some delta in the subset) go through [[Reconcile]]; the rest are
+    * plain scans.
+    */
+  private def readResolved(spark: SparkSession, m: Manifest, entries: Seq[FileEntry]): DataFrame = {
+    val payloadNames = DataType.fromJson(m.currentSchemaJson).asInstanceOf[StructType].fieldNames.toSeq
+    val outCols = payloadNames.map(col) ++ Seq(col("lsn").as(Model.LsnCol))
+    val deltas = entries.filter(_.isDelta)
+    if (deltas.isEmpty) return readEntries(spark, m, entries).select(outCols: _*)
+
+    val dirty: Set[Int] = deltas.flatMap(_.coveredBuckets(m.numBuckets)).toSet
+    val (dirtyFiles, cleanFiles) =
+      entries.partition(f => f.isDelta || dirty.contains(f.bucket))
+    val reconciled = Reconcile
+      .winners(spark, readEntries(spark, m, dirtyFiles), m.numBuckets, writeSplits = 4)
+      .select(outCols: _*)
+    if (cleanFiles.isEmpty) reconciled
+    else reconciled.unionByName(readEntries(spark, m, cleanFiles).select(outCols: _*))
+  }
+
+  /** Manifest-pruned read: only files whose bucket (base) or bucket range
+    * (delta) covers one of `buckets`, further skipped by `minLsn` (a file
+    * whose maxLsn < minLsn cannot hold a row that survives the filter).
+    * Returns current winners of those buckets with `_lsn >= minLsn` —
+    * the "changed since LSN X in these key ranges" incremental-consumer
+    * read. Post-filters make pruning safe: a winner pruned away must have
+    * lsn < minLsn (its file would otherwise have maxLsn >= minLsn), and
+    * stale lower-LSN rows that outlive their winner's file are dropped by
+    * the final `_lsn >= minLsn` predicate.
+    */
+  def readBuckets(spark: SparkSession, buckets: Set[Int],
+      minLsn: Long = Long.MinValue): DataFrame = {
+    val m = manifest.getOrElse(sys.error(s"no such table: $root"))
+    val selected = pruneEntries(m, buckets, minLsn)
+    readResolved(spark, m, selected)
+      .filter(SnapshotTable.bucketOf(col("doc_id"), m.numBuckets).isin(buckets.toSeq: _*))
+      .filter(col(Model.LsnCol) >= minLsn)
+  }
+
+  /** The file-skipping core of [[readBuckets]], exposed for tests. */
+  private[cdc] def pruneEntries(m: Manifest, buckets: Set[Int], minLsn: Long): Seq[FileEntry] =
+    m.files.filter(f => buckets.exists(f.covers) && f.maxLsn >= minLsn)
 
   /** List part files of a flat (non-partitioned) output dir. */
   private[cdc] def listDataFiles(dir: Path): Seq[String] = {
