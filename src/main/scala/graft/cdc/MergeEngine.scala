@@ -77,7 +77,8 @@ object MergeEngine {
       saltBuckets: Int = 64,
       saltedPreDedup: Boolean = false,
       writeSplits: Int = 4,
-      mode: String = ModeMor): MergeResult = {
+      mode: String = ModeMor,
+      sortDeltas: Boolean = false): MergeResult = {
 
     val m = table.manifest.getOrElse(sys.error(s"table not initialized: ${table.root}"))
 
@@ -172,20 +173,23 @@ object MergeEngine {
 
     if (mode == ModeMor) {
       // ── MOR: append the batch as delta files — ZERO shuffle ─────────
-      // Rows gain a `_bucket` column and a LOCAL (per-task) sort on it —
-      // no repartition — so each written file's footer min/max bounds the
-      // bucket range it touches. A bucket-targeted epoch therefore yields
-      // narrow-range delta files, and compaction/read-time reconcile
-      // touch only those buckets (O(dirty buckets)); the salted
-      // hash(doc_id) shuffle still happens exactly once per row, at
-      // compaction/read-time reconcile. Ingest cost is a scan + a write.
-      val out = staged
+      // Rows gain a `_bucket` column so each written file's footer
+      // min/max bounds the bucket range it touches: a bucket-targeted
+      // epoch yields narrow-range delta files and compaction/read-time
+      // reconcile touch only those buckets (O(dirty buckets)); the
+      // salted hash(doc_id) shuffle still happens exactly once per row,
+      // at compaction/read-time reconcile. Ingest cost is a scan + a
+      // write. `sortDeltas` adds a LOCAL (per-task, still shuffle-free)
+      // sort on _bucket so maxRecordsPerFile splits of a broad batch also
+      // get tight ranges — worth its CPU only when epochs are large AND
+      // key-clustered; targeted batches are naturally narrow without it.
+      val withBucket = staged
         .withColumn(Model.BucketCol, SnapshotTable.bucketOf(col("doc_id"), m.numBuckets))
         .select(
           newSchema.fieldNames.toSeq.map(col) ++
             Seq(col("lsn").as(Model.LsnCol), col("op").as(Model.OpCol),
               col(Model.BucketCol)): _*)
-        .sortWithinPartitions(Model.BucketCol)
+      val out = if (sortDeltas) withBucket.sortWithinPartitions(Model.BucketCol) else withBucket
       timed("write-delta")(out.write
         .option("maxRecordsPerFile", 4000000)
         .mode("overwrite")

@@ -37,8 +37,14 @@ object Reconcile {
       counters: Option[Counters] = None): DataFrame = {
 
     val withBucket = df.withColumn("_bucket", SnapshotTable.bucketOf(col("doc_id"), numBuckets))
+    // Partition count is over-provisioned 4x beyond the distinct
+    // (bucket, salt) key count: hashing K keys into exactly K partitions
+    // leaves ~1/e of them empty and gives the busiest task 3-4 keys'
+    // worth of rows (balls-in-bins) — a 3-4x straggler tail on the one
+    // shuffle this engine performs. With 4K partitions two keys rarely
+    // collide, so the tail is ~1 key. Empty partitions cost microseconds.
     val arranged = withBucket
-      .repartition(numBuckets * writeSplits, col("_bucket"),
+      .repartition(numBuckets * writeSplits * 4, col("_bucket"),
         pmod(xxhash64(col("doc_id"), lit(7L)), lit(writeSplits.toLong)))
       // 'U' > 'K' > 'I' > 'D' lexicographically — ties on lsn can only be
       // exact re-deliveries, where any winner carries the same payload

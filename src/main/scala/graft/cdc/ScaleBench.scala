@@ -17,7 +17,7 @@ object ScaleBench {
   private def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scalebench-$cores")
       .config("spark.sql.shuffle.partitions", cores)
@@ -27,7 +27,15 @@ object ScaleBench {
       // keep scan parallelism ≥ cores even when a micro-batch is only a
       // few log files
       .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
-      .getOrCreate()
+    // shuffle blocks follow the work dir (GRAFT_WORK_DIR=/dev/shm/...
+    // measures the engine, not this VM's 5x-variance virtual disk);
+    // spark.local.dir is read at SparkContext start, so set it per
+    // session before the first context of the run
+    sys.env.get("GRAFT_WORK_DIR").foreach { d =>
+      Files.createDirectories(java.nio.file.Paths.get(d))
+      b.config("spark.local.dir", d)
+    }
+    b.getOrCreate()
   }
 
   private def tuned(cores: Int): SparkSession = {
@@ -36,11 +44,40 @@ object ScaleBench {
     s
   }
 
+  /** Best-of-3 throughput (units/s) of `threads` plain JVM threads each
+    * hashing a fixed workload — no Spark, no shared state, no I/O. This
+    * is the ceiling the host grants ANY computation at that parallelism.
+    */
+  private def machineEnvelope(threads: Int): Double = {
+    def unit(): Unit = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      var h = new Array[Byte](1024)
+      var i = 0
+      while (i < 20000) { h = java.util.Arrays.copyOf(md.digest(h), 1024); i += 1 }
+    }
+    unit() // JIT warm
+    (1 to 3).map { _ =>
+      val unitsPerThread = 4
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map(_ => new Thread(() => (1 to unitsPerThread).foreach(_ => unit())))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      threads.toDouble * unitsPerThread / ((System.nanoTime() - t0) / 1e9)
+    }.max
+  }
+
   def main(args: Array[String]): Unit = {
     val numEvents = args.lift(0).map(_.toLong).getOrElse(4000000L)
     val numFiles = args.lift(1).map(_.toInt).getOrElse(32)
     val perTrigger = args.lift(2).map(_.toInt).getOrElse(8)
-    val work = Files.createTempDirectory("graft-scale").toString
+    // GRAFT_WORK_DIR=/dev/shm/... takes the VM's disk out of the
+    // measurement (the north metric is the ENGINE's scaling; this
+    // sandbox's virtual disk throughput varies 5x between runs)
+    val workBase = sys.env.get("GRAFT_WORK_DIR").map(java.nio.file.Paths.get(_))
+    workBase.foreach(Files.createDirectories(_))
+    val work = workBase
+      .map(b => Files.createTempDirectory(b, "graft-scale"))
+      .getOrElse(Files.createTempDirectory("graft-scale"))
+      .toString
     val cfg = ChangelogGen.Config(
       numEvents = numEvents, numDocs = numEvents / 4,
       numPartitions = 8, numFiles = numFiles)
@@ -51,6 +88,23 @@ object ScaleBench {
     ChangelogGen.writeLog(gen, cfg, s"$work/log")
     val delivered = numEvents + ChangelogGen.duplicates(gen, cfg).count()
     gen.stop()
+
+    // Untimed warmup replay: JIT + Janino codegen caches are JVM-wide,
+    // so one small end-to-end replay stops the first timed run from
+    // paying compilation costs the others don't (a serial term that
+    // would understate scaling efficiency).
+    {
+      val warm = tuned(8)
+      warm.sparkContext.setLogLevel("WARN")
+      val wcfg = cfg.copy(numEvents = 200000L, numDocs = 50000L, numFiles = 2)
+      ChangelogGen.writeLog(warm, wcfg, s"$work/warmlog")
+      IngestJob.replay(warm, IngestJob.Config(
+        logDir = s"$work/warmlog", tableDir = s"$work/warmtable",
+        checkpointDir = s"$work/warmckpt", maxFilesPerTrigger = Some(perTrigger),
+        numBuckets = 32, compactEvery = 2, queryId = "warmup"))
+      MergeEngine.compact(warm, new SnapshotTable(s"$work/warmtable", 32))
+      warm.stop()
+    }
 
     // The sandbox VM suffers hypervisor-level noise waves that hit
     // full-width (32-thread) runs hardest (observed 2.6 s vs 20 s for the
@@ -120,10 +174,29 @@ object ScaleBench {
     }
 
     val results = runResults.groupBy(_._1).map { case (c, rs) => c -> rs.map(_._2).max }
-    val eps8 = results.getOrElse(8, 1.0); val eps32 = results.getOrElse(32, 1.0)
-    val eff = eps32 / (4.0 * eps8)
+    val cMin = results.keys.min; val cMax = results.keys.max
+    val ratio = cMax.toDouble / cMin
+    val eff = (results(cMax) / results(cMin)) / ratio
+    // The MACHINE's own scaling envelope for the same core pair: a pure
+    // in-JVM CPU loop (SHA-256 chain, zero coordination, zero I/O). On
+    // this sandbox VM the envelope is itself well below 1.0 at high
+    // thread counts (hypervisor CPU oversubscription) — engine efficiency
+    // can never exceed it, so it is reported alongside.
+    val envMin = machineEnvelope(cMin); val envMax = machineEnvelope(cMax)
+    val envelope = (envMax / envMin) / ratio
+    val epsJson = results.toSeq.sortBy(_._1)
+      .map { case (c, e) => s""""$c":${e.round}""" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"cdc_scaling","events":$delivered,"eps_local8":${eps8.round},""" +
-        s""""eps_local32":${eps32.round},"scaling_efficiency":${math.round(eff * 1000) / 1000.0}}""")
+      s"""{"metric":"cdc_scaling","events":$delivered,"cores":[$cMin,$cMax],""" +
+        s""""eps":$epsJson,"scaling_efficiency":${math.round(eff * 1000) / 1000.0},""" +
+        s""""machine_cpu_envelope":${math.round(envelope * 1000) / 1000.0},""" +
+        s""""engine_vs_machine":${math.round(eff / envelope * 1000) / 1000.0}}""")
+    // free the work dir eagerly (tmpfs runs would otherwise pin RAM)
+    scala.util.Try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(work)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    ()
   }
 }
