@@ -6,8 +6,10 @@ import org.apache.spark.sql.expressions.Window
 import graft.util.Tables
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column):
-  * brute-force cosine top-k as the exact baseline, and random-hyperplane
-  * LSH bucketing as the scale path (candidates only within a bucket).
+  * brute-force cosine top-k as the exact baseline, and BOTH
+  * industry-standard scale paths — multi-table random-hyperplane LSH
+  * (q39, candidates only within a bucket) and IVF coarse quantization
+  * (q44, candidates only within probed centroid cells).
   *
   * Determinism across engines: embeddings are quantized to integers
   * (round(x*1000)) so dot products and norms are exact int64 arithmetic;
@@ -147,6 +149,51 @@ object AnnOps extends QueryPack {
           sum($"norm2").as("sum_norm2"))
         .withColumn("avg_c1", $"sum_c1".cast("double") / $"n_vecs")
         .orderBy("label")
+    },
+
+    "q44_ann_ivf" -> { (s, dir) =>
+      import s.implicits._
+      // IVF (inverted-file) ANN — the other industry-standard scale path
+      // next to LSH (q39): vectors partition into cells around coarse
+      // centroids; a query probes only its nearest cells and brute-forces
+      // within. Here the coarse "codebook" is the per-label centroid SUM
+      // vector: the 1/n divisor cancels in cosine, so every centroid
+      // component stays an exact int64 and all dots are exact integer
+      // arithmetic — bit-identical across engines. At 100 TB: the
+      // codebook is tiny (broadcast), cell assignment is a scan, and the
+      // probe join is an equi-join on cell id — O(n/cells × probes × Q)
+      // compute, never all-pairs.
+      val n = quantized(s, dir)
+      val sums = (1 to Dim).map(i => sum(element_at($"qe", i)).as(s"s$i"))
+      val cent = n.groupBy($"label").agg(sums.head, sums.tail: _*)
+        .select($"label".as("cell"),
+          array((1 to Dim).map(i => col(s"s$i")): _*).as("cvec"))
+        .withColumn("cnorm2", aggregate($"cvec", lit(0L), (a, x) => a + x * x))
+      val scoredCells = n.crossJoin(broadcast(cent))
+        .withColumn("cscore",
+          dot($"qe", $"cvec").cast("double") /
+            sqrt($"norm2".cast("double")) / sqrt($"cnorm2".cast("double")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"cscore".desc, $"cell")))
+      val assigned = scoredCells.filter($"crank" === 1).select($"vec_id", $"cell")
+      val probes = scoredCells.filter($"vec_id" % 100 === 0 && $"crank" <= 3)
+        .select($"vec_id".as("query_id"), $"cell")
+      val pairs = assigned.join(probes, Seq("cell"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", $"cell")
+      val scored = pairs
+        .join(n.select($"vec_id", $"qe", $"norm2"), Seq("vec_id"))
+        .join(n.select($"vec_id".as("query_id"), $"qe".as("q_qe"), $"norm2".as("q_n2")),
+          Seq("query_id"))
+        .withColumn("score",
+          dot($"q_qe", $"qe").cast("double") /
+            sqrt($"q_n2".cast("double")) / sqrt($"norm2".cast("double")))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"vec_id", $"cell", $"score", $"rank")
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -205,6 +252,48 @@ object AnnOps extends QueryPack {
          |  CAST(sum(qe[49]) AS BIGINT) AS sum_c49,
          |  CAST(sum(norm2) AS BIGINT) AS sum_norm2,
          |  CAST(CAST(sum(qe[1]) AS BIGINT) AS DOUBLE) / count(*) AS avg_c1
-         |FROM qn GROUP BY label ORDER BY label""".stripMargin
+         |FROM qn GROUP BY label ORDER BY label""".stripMargin,
+
+    "q44_ann_ivf" -> {
+      val cvec = (1 to Dim).map(i => s"CAST(sum(qe[$i]) AS BIGINT)").mkString("[", ", ", "]")
+      s"""WITH $duckQuantized,
+         |cent AS (
+         |  SELECT label AS cell, $cvec AS cvec FROM qn GROUP BY label),
+         |cent2 AS (
+         |  SELECT cell, cvec,
+         |    CAST(list_sum(list_transform(cvec, x -> x * x)) AS BIGINT) AS cnorm2
+         |  FROM cent),
+         |cellscore AS (
+         |  SELECT n.vec_id, c.cell,
+         |    CAST(CAST(list_sum(list_transform(generate_series(1, $Dim),
+         |        i -> n.qe[i] * c.cvec[i])) AS BIGINT) AS DOUBLE)
+         |      / sqrt(CAST(n.norm2 AS DOUBLE)) / sqrt(CAST(c.cnorm2 AS DOUBLE)) AS cscore
+         |  FROM qn n CROSS JOIN cent2 c),
+         |ranked_cells AS (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) AS crank
+         |  FROM cellscore),
+         |assigned AS (SELECT vec_id, cell FROM ranked_cells WHERE crank = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell FROM ranked_cells
+         |  WHERE vec_id % 100 = 0 AND crank <= 3),
+         |pairs AS (
+         |  SELECT p.query_id, a.vec_id, a.cell
+         |  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT pr.query_id, pr.vec_id, pr.cell,
+         |    CAST($duckDot AS DOUBLE) / sqrt(CAST(q_n2 AS DOUBLE))
+         |      / sqrt(CAST(norm2 AS DOUBLE)) AS score
+         |  FROM pairs pr
+         |  JOIN qn ON pr.vec_id = qn.vec_id
+         |  JOIN (SELECT vec_id AS qid2, qe AS q_qe, norm2 AS q_n2 FROM qn) qq
+         |    ON pr.query_id = qq.qid2),
+         |final_ranked AS (
+         |  SELECT query_id, vec_id, cell, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cell, score, rank FROM final_ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }
   )
 }
