@@ -63,6 +63,26 @@ object Pipeline {
             s"[pipeline] WARN at layer '$layer', test '$test': $n violating group(s)")
         n
       }.sum
+
+    /** Single-pass layer gate: dbt executes one SELECT per test (one scan
+      * each); here every row-predicate test of a layer folds into ONE
+      * aggregation over ONE scan — conditional violation counts — and
+      * example rows are fetched only on the (rare) failure path. At 100 TB
+      * this is the difference between T scans and 1.
+      */
+    def gateOnePass(layer: String, df: DataFrame, tests: (String, Column)*): Unit = {
+      val counts = df.agg(
+        sum(when(tests.head._2, 1L).otherwise(0L)).as(tests.head._1),
+        tests.tail.map { case (name, bad) =>
+          sum(when(bad, 1L).otherwise(0L)).as(name) }: _*).head()
+      tests.zipWithIndex.foreach { case ((name, bad), i) =>
+        if (!counts.isNullAt(i) && counts.getLong(i) > 0) {
+          val examples = df.filter(bad).limit(3).collect().mkString("; ")
+          sys.error(s"pipeline gate failed at layer '$layer', test '$name': " +
+            s"${counts.getLong(i)} violations, e.g. $examples")
+        }
+      }
+    }
   }
 
   /** The materialized marts of one pipeline run. */
@@ -99,8 +119,8 @@ object Pipeline {
       $"o_orderkey".as("order_key"), $"o_custkey".as("cust_key"),
       $"o_orderstatus".as("status"), $"o_orderpriority".as("priority"))
     if (gates) {
-      Checks.gate("staging",
-        "not_null_order_key" -> Checks.notNull(stgLines, Seq("order_key")))
+      Checks.gateOnePass("staging", stgLines,
+        "not_null_order_key" -> col("order_key").isNull)
       // warn-severity like the reference's trip_id uniqueness (the test
       // fixtures, like the real TLC data, contain duplicate line keys)
       Checks.gateWarn("staging",
@@ -114,11 +134,10 @@ object Pipeline {
       .withColumn("ship_month", date_trunc("month", $"ship_ts").cast("date"))
       .withColumn("disc_price", $"price" * (lit(1.0) - $"disc"))
       .withColumn("charge", $"price" * (lit(1.0) - $"disc") * (lit(1.0) + $"tax"))
-    if (gates) Checks.gate("intermediate",
-      "positive_qty" -> Checks.positive(validated, "qty"),
-      "disc_in_range" -> Checks.inRange(validated, "disc", 0.0, 1.0),
-      "accepted_return_flag" ->
-        Checks.acceptedValues(validated, "return_flag", Seq("A", "N", "R")))
+    if (gates) Checks.gateOnePass("intermediate", validated,
+      "positive_qty" -> (col("qty") <= 0),
+      "disc_in_range" -> (col("disc") < 0.0 || col("disc") > 1.0),
+      "accepted_return_flag" -> !col("return_flag").isin("A", "N", "R"))
 
     // ── marts core (gold): the one-big-table, computed ONCE ────────────
     val n = Tables.load(s, dir, "nation")
@@ -131,8 +150,8 @@ object Pipeline {
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey", "left")
       .drop("c_custkey", "c_nationkey", "n_nationkey")
       .persist()
-    if (gates) Checks.gate("marts_core",
-      "not_null_nation" -> Checks.notNull(obt, Seq("nation")))
+    if (gates) Checks.gateOnePass("marts_core", obt,
+      "not_null_nation" -> col("nation").isNull)
 
     // ── marts: aggregation + insight, BOTH from the cached OBT ─────────
     val aggMonthly = obt

@@ -45,6 +45,22 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("unit") && e.getMessage.contains("not_null_flag"))
   }
 
+  test("single-pass gate folds all layer tests into one scan and names the failing test") {
+    import spark.implicits._
+    val bad = Seq((1L, "A", 0.5), (2L, "X", -0.1)).toDF("k", "flag", "disc")
+    // passing case: no exception
+    Pipeline.Checks.gateOnePass("unit", bad, "not_null_k" -> col("k").isNull)
+    // failing case names the first violated test with a count and example
+    val e = intercept[RuntimeException] {
+      Pipeline.Checks.gateOnePass("unit", bad,
+        "not_null_k" -> col("k").isNull,
+        "accepted_flag" -> !col("flag").isin("A", "N", "R"),
+        "disc_in_range" -> (col("disc") < 0.0))
+    }
+    assert(e.getMessage.contains("accepted_flag") && e.getMessage.contains("1 violations"),
+      e.getMessage)
+  }
+
   test("marts are consistent with each other (same validated row universe)") {
     Pipeline.reset()
     val marts = Pipeline.run(spark, dir)

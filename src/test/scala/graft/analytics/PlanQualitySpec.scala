@@ -100,6 +100,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q42 pipeline mart prunes the lineitem scan to referenced columns") {
+    graft.analytics.Pipeline.reset()
+    val p = plan("q42_pipeline_monthly")
+    val reads = "ReadSchema: [^\n]+".r.findAllIn(p).toSeq.mkString("\n")
+    // the OBT cache feeds the mart, but the underlying lineitem scan must
+    // not read join-irrelevant wide columns
+    assert(!reads.contains("l_partkey") && !reads.contains("l_suppkey"),
+      s"unpruned pipeline scan: $reads")
+    graft.analytics.Pipeline.reset()
+  }
+
+  test("q44 IVF: only the intended 10-cell broadcast is nested-loop; pair joins are hash") {
+    val df = graft.SparkEntry.queries("q44_ann_ivf")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the codebook cross join broadcasts 10 rows — allowed; the candidate
+    // and scoring joins must be equi-joins, never a big-side cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 2, s"unexpected nested-loop joins beyond the codebook: $bnl\n$p")
+  }
+
   test("q35 LSH pairs stay distributed: no driver round-trip in the plan") {
     // A collect()-and-reparallelize would surface as a LocalTableScan of
     // the pair set; the memoized pair DataFrame must be an InMemory scan.
