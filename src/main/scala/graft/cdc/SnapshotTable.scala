@@ -44,7 +44,11 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16) {
     if (!exists) None
     else Some(new String(Files.readAllBytes(currentPtr), StandardCharsets.UTF_8).trim.toLong)
 
-  def manifest: Option[Manifest] = currentVersion.map { v =>
+  def manifest: Option[Manifest] = currentVersion.map(manifestAt)
+
+  /** Load a specific historical manifest version (time travel). */
+  def manifestAt(v: Long): Manifest = {
+    require(Files.exists(manifestPath(v)), s"no snapshot v$v at $root (expired or never committed)")
     Manifest.fromJson(new String(Files.readAllBytes(manifestPath(v)), StandardCharsets.UTF_8))
   }
 
@@ -122,6 +126,46 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16) {
   def readWithLsn(spark: SparkSession): DataFrame = {
     val m = manifest.getOrElse(sys.error(s"no such table: $root"))
     readResolved(spark, m, m.files)
+  }
+
+  /** Time travel: the table as of snapshot `v`, under THAT version's
+    * schema (a column added later does not appear; rows merged later are
+    * absent). Old data files are immutable, so this is a pure metadata
+    * operation — no copy-on-read.
+    */
+  def readVersion(spark: SparkSession, v: Long): DataFrame = {
+    val m = manifestAt(v)
+    readResolved(spark, m, m.files).drop(Model.LsnCol)
+  }
+
+  /** Retire all snapshots older than the last `keepLast` versions: their
+    * manifests are deleted and any data file no retained manifest
+    * references is removed. Time travel to an expired version then fails
+    * fast with "expired"; the live read is untouched (current files are
+    * always retained). Returns (manifests deleted, data files deleted).
+    */
+  def expireSnapshots(keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val cur = currentVersion.getOrElse(sys.error(s"no such table: $root"))
+    val all = Files.list(rootPath.resolve("manifests")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toLong).toSeq.sorted
+    val retained = all.filter(v => v > cur - keepLast && v <= cur)
+    val expired = all.filterNot(retained.contains)
+    val keepFiles = retained.map(manifestAt).flatMap(_.files.map(_.path)).toSet
+    var dataDeleted = 0
+    if (Files.exists(rootPath.resolve("data"))) {
+      Files.walk(rootPath.resolve("data")).iterator().asScala.toSeq.reverse.foreach { p =>
+        if (Files.isRegularFile(p) && p.getFileName.toString.startsWith("part-") &&
+            !keepFiles.contains(p.toString)) {
+          Files.delete(p); dataDeleted += 1
+        } else if (Files.isDirectory(p) && !Files.list(p).iterator().hasNext) {
+          Files.delete(p)
+        }
+      }
+    }
+    expired.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    (expired.size, dataDeleted)
   }
 
   /** Reconcile-if-needed read of a file subset: dirty buckets (covered by
