@@ -129,6 +129,17 @@ object CdcOps extends QueryPack {
         .select($"queryId", $"epochId", $"eventsIn", $"belowWatermark",
           $"collapsedInBatch", $"upserts", $"deletes", $"rowsWritten")
         .orderBy("queryId", "epochId")
+    },
+    // The source-offset ledger itself (SURVEY S2): per-partition applied
+    // LSN high-watermarks after the full replay — each partition's max is
+    // the highest event LSN the changelog rules route to it, so the
+    // lineage record is independently derivable in SQL.
+    "q45_cdc_watermarks" -> { (s, dir) =>
+      import s.implicits._
+      val m = replayFor(s, dir).manifest.get
+      m.watermarks.toSeq.map { case (k, v) => (k.toInt, v) }
+        .toDF("partition", "watermark")
+        .orderBy("partition")
     }
   )
 
@@ -185,6 +196,13 @@ object CdcOps extends QueryPack {
         |  CAST(CASE WHEN n_ins + n_upd + n_del > 0 THEN n_ins + n_upd ELSE 0 END AS BIGINT) AS "upserts",
         |  CAST(n_del AS BIGINT) AS "deletes",
         |  CAST(n_ins + n_upd + n_del AS BIGINT) AS "rowsWritten"
-        |FROM epochs ORDER BY k""".stripMargin
+        |FROM epochs ORDER BY k""".stripMargin,
+
+    "q45_cdc_watermarks" ->
+      """SELECT CAST(doc_id % 4 AS INT) AS partition,
+        |  CAST(max(CASE WHEN doc_id % 17 = 0 THEN 3 * doc_id + 2
+        |                WHEN doc_id % 5 = 0 THEN 3 * doc_id + 1
+        |                ELSE 3 * doc_id END) AS BIGINT) AS watermark
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
