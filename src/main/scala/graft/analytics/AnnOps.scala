@@ -85,11 +85,19 @@ object AnnOps extends QueryPack {
   private val duckDot =
     "CAST(list_sum(list_transform(generate_series(1, 64), i -> q_qe[i] * qe[i])) AS BIGINT)"
 
+  /** q38's broadcast query set is capped at a CONSTANT size by
+    * construction (TakeOrderedAndProject over the id filter), so the
+    * broadcast side is bounded regardless of corpus growth — asserted in
+    * PlanQualitySpec. (The r2 shape, 1% of n, grew with the corpus.)
+    */
+  private[analytics] val BruteQueryK = 20
+
   def queries: Map[String, Query] = Map(
     "q38_ann_brute_topk" -> { (s, dir) =>
       import s.implicits._
       val n = quantized(s, dir)
       val q = n.filter($"vec_id" % 100 === 0)
+        .orderBy($"vec_id").limit(BruteQueryK)
         .select($"vec_id".as("query_id"), $"qe".as("q_qe"), $"norm2".as("q_n2"))
       val scored = n.join(broadcast(q), $"vec_id" =!= $"query_id")
         .withColumn("dot", dot($"q_qe", $"qe"))
@@ -155,20 +163,32 @@ object AnnOps extends QueryPack {
       import s.implicits._
       // IVF (inverted-file) ANN — the other industry-standard scale path
       // next to LSH (q39): vectors partition into cells around coarse
-      // centroids; a query probes only its nearest cells and brute-forces
-      // within. Here the coarse "codebook" is the per-label centroid SUM
-      // vector: the 1/n divisor cancels in cosine, so every centroid
-      // component stays an exact int64 and all dots are exact integer
-      // arithmetic — bit-identical across engines. At 100 TB: the
-      // codebook is tiny (broadcast), cell assignment is a scan, and the
-      // probe join is an equi-join on cell id — O(n/cells × probes × Q)
-      // compute, never all-pairs.
+      // centroids; a query probes only its 3 nearest cells (multi-probe)
+      // and brute-forces within. The codebook is DATA-DRIVEN and grows
+      // with the corpus: cells = ⌊√n⌋ deterministic sample medoids
+      // (every ⌊n/cells⌋-th vector by id — a seeded systematic sample,
+      // the sampled-medoid analog of FAISS's k-means-on-a-sample
+      // training). Occupancy math: cells=√n ⇒ expected n/√n = √n
+      // vectors/cell, so per-query probe work is O(3·√n·d) and total
+      // probe compute O(Q·√n·d) — the per-cell candidate list no longer
+      // blows up as O(n/constant) the way a fixed 10-cell codebook did.
+      // Every centroid component is the medoid's exact quantized int64,
+      // so all dots stay exact integer arithmetic — bit-identical across
+      // engines. At 100 TB: the √n codebook is still broadcast-sized
+      // (√(10^10 rows) = 10^5 rows × 64 ints ≈ 50 MB; shard the
+      // assignment scan if d grows), cell assignment is one scan ×
+      // broadcast, and the probe join is an equi-join on cell id —
+      // never all-pairs (asserted in PlanQualitySpec).
       val n = quantized(s, dir)
-      val sums = (1 to Dim).map(i => sum(element_at($"qe", i)).as(s"s$i"))
-      val cent = n.groupBy($"label").agg(sums.head, sums.tail: _*)
-        .select($"label".as("cell"),
-          array((1 to Dim).map(i => col(s"s$i")): _*).as("cvec"))
-        .withColumn("cnorm2", aggregate($"cvec", lit(0L), (a, x) => a + x * x))
+      // bounded driver scalars (one count) size the codebook; the seeds
+      // themselves never leave the executors
+      val total = n.count()
+      val cells = math.max(2L, math.sqrt(total.toDouble).toLong)
+      val stride = math.max(1L, total / cells)
+      val cent = n
+        .filter($"vec_id" % stride === 0 && $"vec_id" < cells * stride)
+        .select(($"vec_id" / stride).cast("int").as("cell"),
+          $"qe".as("cvec"), $"norm2".as("cnorm2"))
       val scoredCells = n.crossJoin(broadcast(cent))
         .withColumn("cscore",
           dot($"qe", $"cvec").cast("double") /
@@ -201,7 +221,7 @@ object AnnOps extends QueryPack {
     "q38_ann_brute_topk" ->
       s"""WITH $duckQuantized,
          |q AS (SELECT vec_id AS query_id, qe AS q_qe, norm2 AS q_n2
-         |      FROM qn WHERE vec_id % 100 = 0),
+         |      FROM qn WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT $BruteQueryK),
          |scored AS (
          |  SELECT query_id, vec_id, $duckDot AS dot,
          |    CAST($duckDot AS DOUBLE) / sqrt(CAST(q_n2 AS DOUBLE))
@@ -254,15 +274,18 @@ object AnnOps extends QueryPack {
          |  CAST(CAST(sum(qe[1]) AS BIGINT) AS DOUBLE) / count(*) AS avg_c1
          |FROM qn GROUP BY label ORDER BY label""".stripMargin,
 
-    "q44_ann_ivf" -> {
-      val cvec = (1 to Dim).map(i => s"CAST(sum(qe[$i]) AS BIGINT)").mkString("[", ", ", "]")
+    "q44_ann_ivf" ->
       s"""WITH $duckQuantized,
-         |cent AS (
-         |  SELECT label AS cell, $cvec AS cvec FROM qn GROUP BY label),
+         |params AS (
+         |  SELECT count(*) AS total,
+         |    greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) AS cells,
+         |    greatest(1, count(*) // greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)))
+         |      AS stride
+         |  FROM qn),
          |cent2 AS (
-         |  SELECT cell, cvec,
-         |    CAST(list_sum(list_transform(cvec, x -> x * x)) AS BIGINT) AS cnorm2
-         |  FROM cent),
+         |  SELECT CAST(vec_id // stride AS INT) AS cell, qe AS cvec, norm2 AS cnorm2
+         |  FROM qn, params
+         |  WHERE vec_id % stride = 0 AND vec_id < cells * stride),
          |cellscore AS (
          |  SELECT n.vec_id, c.cell,
          |    CAST(CAST(list_sum(list_transform(generate_series(1, $Dim),
@@ -294,6 +317,5 @@ object AnnOps extends QueryPack {
          |  FROM scored)
          |SELECT query_id, vec_id, cell, score, rank FROM final_ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-    }
   )
 }

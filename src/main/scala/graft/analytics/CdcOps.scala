@@ -1,7 +1,6 @@
 package graft.analytics
 
 import java.nio.file.{Files, Paths}
-import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,7 +18,10 @@ import graft.util.Tables
   *   - every doc inserts at lsn 3d with tokens = H(words(text));
   *   - d % 5 == 0 updates at lsn 3d+1 with tokens' = (t*31+7) % V;
   *   - d % 17 == 0 deletes at lsn 3d+2;
-  *   - d % 13 == 0 re-delivers its insert in a later chunk (duplicate).
+  *   - d % 13 == 0 re-delivers its insert in a later chunk (duplicate);
+  *   - d % 23 == 0 also emits a MALFORMED update (n_tok = size+1, violating
+  *     the token-count invariant) — quarantined by the ingest validity
+  *     split, never applied (ON_ERROR='CONTINUE' analog; read back by q47).
   * Word hash H(w) = (len(w)*1000003 + ascii(first)*101 + ascii(last)) % V,
   * V = 50257 — identical arithmetic in Spark and DuckDB.
   */
@@ -65,17 +67,34 @@ object CdcOps extends QueryPack {
         lit(null).cast("array<int>").as("tokens"),
         lit(null).cast("int").as("n_tok"),
         lit(null).cast("string").as("source"), nullTs): _*)
-    ins.unionByName(upd).unionByName(del)
+    // malformed update: n_tok disagrees with size(tokens) → fails the
+    // ingest validity predicate and lands in the quarantine split; op="U"
+    // keeps it out of the d%13 duplicate re-delivery branch
+    val bad = base.filter(pmod(col("did"), lit(23L)) === 0)
+      .select(Seq((col("did") * 3).as("lsn")) ++ common ++ Seq(
+        lit("U").as("op"),
+        col("base_toks").as("tokens"),
+        (size(col("base_toks")) + 1).as("n_tok"),
+        col("source"), nullTs): _*)
+    ins.unionByName(upd).unionByName(del).unionByName(bad)
       .select("lsn", "partition", "op", "doc_id", "tokens", "n_tok", "source", "ts")
   }
 
-  /** Replay the documents-derived changelog once per (sfDir) and memoize
-    * the resulting table (several queries read the same snapshot).
+  /** One full replay per input snapshot: the table plus its side outputs
+    * (quarantine split, work dir) — several queries read the same result.
     */
-  private val replayed = TrieMap.empty[String, SnapshotTable]
+  private[analytics] case class Replay(table: SnapshotTable, quarantineDir: String,
+      work: String)
 
-  private[analytics] def replayFor(s: SparkSession, dir: String): SnapshotTable =
-    replayed.getOrElseUpdate(dir, {
+  /** Memoized per documents fingerprint + session (regenerated data or a
+    * restarted session rebuilds; the superseded work dir is deleted).
+    */
+  private val replayed = new Tables.FingerprintMemo[Replay](r =>
+    scala.util.Try(Tables.deleteRecursively(r.work)))
+
+  private[analytics] def replayFor(s: SparkSession, dir: String): Replay =
+    replayed.getOrElseUpdate(dir,
+      s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
       val work = Files.createTempDirectory("graft-cdcops").toString
       val log = changelog(s, dir)
       val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
@@ -94,14 +113,15 @@ object CdcOps extends QueryPack {
           fresh.unionByName(dups).orderBy("lsn"), logDir, f"chunk-$k%05d.parquet",
           Some(t0 + k * 1000L))
       }
-      IngestJob.replay(s, IngestJob.Config(
+      val table = IngestJob.replay(s, IngestJob.Config(
         logDir = logDir.toString,
         tableDir = s"$work/table",
         checkpointDir = s"$work/ckpt",
         maxFilesPerTrigger = Some(1),
         numBuckets = 8,
         quarantineDir = Some(s"$work/quarantine")))
-    })
+      Replay(table, s"$work/quarantine", work)
+    }
 
   def queries: Map[String, Query] = Map(
     // The north-star path: stream-tail → MERGE → snapshot, end-to-end.
@@ -111,7 +131,7 @@ object CdcOps extends QueryPack {
     // array equality stays covered by ReplayEqualitySpec / FoldOracle.
     "q50_cdc_replay" -> { (s, dir) =>
       import s.implicits._
-      replayFor(s, dir).read(s)
+      replayFor(s, dir).table.read(s)
         .select($"doc_id",
           md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
           $"n_tok", $"source")
@@ -124,7 +144,7 @@ object CdcOps extends QueryPack {
     // (not reproducible in DuckDB; asserted in CdcLineageSpec instead).
     "q51_cdc_lineage" -> { (s, dir) =>
       import s.implicits._
-      val m = replayFor(s, dir).manifest.get
+      val m = replayFor(s, dir).table.manifest.get
       m.metrics.toDF()
         .select($"queryId", $"epochId", $"eventsIn", $"belowWatermark",
           $"collapsedInBatch", $"upserts", $"deletes", $"rowsWritten")
@@ -136,10 +156,53 @@ object CdcOps extends QueryPack {
     // lineage record is independently derivable in SQL.
     "q45_cdc_watermarks" -> { (s, dir) =>
       import s.implicits._
-      val m = replayFor(s, dir).manifest.get
+      val m = replayFor(s, dir).table.manifest.get
       m.watermarks.toSeq.map { case (k, v) => (k.toInt, v) }
         .toDF("partition", "watermark")
         .orderBy("partition")
+    },
+    // Quarantine read-back (S3's ON_ERROR='CONTINUE' accounting,
+    // nyc_taxi_sync_dag.py:47): the split IngestJob wrote per epoch is a
+    // first-class table — counts reconcile against the changelog rules
+    // (one malformed event per d%23==0 doc, routed to its chunk's epoch).
+    // n_tok_excess re-checks the payload (each malformed row overshoots
+    // size(tokens) by exactly 1).
+    "q47_quarantine_readback" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(replayFor(s, dir).quarantineDir)
+        .groupBy($"epoch".cast("bigint").as("epoch"))
+        .agg(
+          count(lit(1)).as("n_quarantined"),
+          countDistinct($"doc_id").as("n_docs"),
+          sum($"n_tok" - size($"tokens")).as("n_tok_excess"))
+        .orderBy("epoch")
+    },
+    // Snapshot-history diff via time travel (SnapshotTable.readVersion):
+    // the rows that changed between two replay checkpoints — state after
+    // epoch 2 (v3) vs after epoch 3 (v4) — derived independently in SQL
+    // from the changelog rules (chunk-3 docs surviving their own-chunk
+    // delete appear as 'added'; cross-version 'changed'/'removed'
+    // classification is exercised in TimeTravelSpec). Old snapshots are
+    // immutable data + manifests, so both reads are pure metadata
+    // resolutions — no copy-on-read.
+    "q48_snapshot_diff" -> { (s, dir) =>
+      import s.implicits._
+      val t = replayFor(s, dir).table
+      val cur = t.currentVersion.get
+      def fp(df: org.apache.spark.sql.DataFrame) = df.select($"doc_id",
+        md5(array_join($"tokens".cast("array<string>"), ",")).as("fp"), $"n_tok")
+      val before = fp(t.readVersion(s, cur - 2)).withColumnRenamed("fp", "fp_old")
+        .withColumnRenamed("n_tok", "n_tok_old")
+      val after = fp(t.readVersion(s, cur - 1)).withColumnRenamed("fp", "fp_new")
+      before.join(after, Seq("doc_id"), "full")
+        .withColumn("status",
+          when($"fp_old".isNull, "added")
+            .when($"fp_new".isNull, "removed")
+            .when($"fp_old" =!= $"fp_new", "changed")
+            .otherwise("unchanged"))
+        .filter($"status" =!= "unchanged")
+        .select($"doc_id", $"status", $"fp_new", $"n_tok")
+        .orderBy("doc_id")
     }
   )
 
@@ -203,6 +266,40 @@ object CdcOps extends QueryPack {
         |  CAST(max(CASE WHEN doc_id % 17 = 0 THEN 3 * doc_id + 2
         |                WHEN doc_id % 5 = 0 THEN 3 * doc_id + 1
         |                ELSE 3 * doc_id END) AS BIGINT) AS watermark
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // One malformed event per d%23==0 doc, quarantined in its chunk's
+    // epoch; each overshoots size(tokens) by exactly 1.
+    "q47_quarantine_readback" ->
+      """WITH chunked AS (
+        |  SELECT doc_id AS did,
+        |    CAST(doc_id // (SELECT max(doc_id) // 4 + 1 FROM documents) AS BIGINT) AS k
+        |  FROM documents)
+        |SELECT k AS epoch, count(*) AS n_quarantined,
+        |  count(DISTINCT did) AS n_docs,
+        |  count(*) AS n_tok_excess
+        |FROM chunked WHERE did % 23 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Diff of snapshot v(cur-2) → v(cur-1) = chunk-3 docs that survive
+    // their own-chunk delete, all 'added' (a doc's I/U/D land in its own
+    // chunk; dup re-deliveries are below-watermark no-ops).
+    "q48_snapshot_diff" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
+         |    list_transform(
+         |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+         |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
+         |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks
+         |  FROM documents)
+         |SELECT doc_id, 'added' AS status,
+         |  md5(array_to_string(
+         |    CASE WHEN did % 5 = 0
+         |         THEN list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT))
+         |         ELSE base_toks END, ',')) AS fp_new,
+         |  CAST(len(base_toks) AS INT) AS n_tok
+         |FROM toks
+         |WHERE did // (SELECT max(doc_id) // 4 + 1 FROM documents) = 3
+         |  AND did % 17 <> 0
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -141,35 +141,20 @@ object DedupOps extends QueryPack {
     * them) as a PERSISTED DataFrame — never collected to the driver: at
     * corpus scale the collision set is millions of pairs, so the pair set
     * must stay distributed end-to-end (the band-bucket equi-join is the
-    * whole point of LSH). The cache key fingerprints the underlying
-    * parquet listing (name/size/mtime), not just the path, so data
-    * replaced under the same directory invalidates the memo.
+    * whole point of LSH). The memo fingerprints the underlying parquet
+    * listing (name/size/mtime), not just the path, and unpersists the
+    * superseded entry when data is replaced under the same directory —
+    * cached executor storage stays bounded at one pair set per dir.
     */
-  private val pairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val pairCache =
+    new Tables.FingerprintMemo[DataFrame](df => { df.unpersist(); () })
 
   /** Test/bench hook. */
-  private[graft] def clearCache(): Unit = {
-    pairCache.values.foreach(df => { df.unpersist(); () })
-    pairCache.clear()
-  }
-
-  private def cacheKey(dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val p = Paths.get(s"$dir/documents.parquet")
-    val listing =
-      if (!Files.exists(p)) "absent"
-      else if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.map(f =>
-          s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
-          .toSeq.sorted.mkString(";")
-      else s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
-    s"$dir|$listing"
-  }
+  private[graft] def clearCache(): Unit = pairCache.clear()
 
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    pairCache.getOrElseUpdate(cacheKey(dir), {
+    pairCache.getOrElseUpdate(dir, Tables.fingerprint(dir, "documents")) {
       // persist the signatures while building: the pipeline feeds 2 join
       // sides — without it Catalyst re-evaluates the hash pipeline twice
       val b = bandSignatures(s, dir).persist()
@@ -181,7 +166,7 @@ object DedupOps extends QueryPack {
       pairs.count() // materialize now so the signature cache can be freed
       b.unpersist()
       pairs
-    })
+    }
   }
 
   private val duckCandidatePairs =

@@ -32,7 +32,119 @@ object EventOps extends QueryPack {
     ("round_amount", col("value") === floor(col("value")), 10),
     ("weekend_signup", col("event_type") === "signup" && dayofweek(col("ts")).isin(1, 7), 15))
 
+  /** The FULL 15-rule fraud table (fraud_detector.py:221-294, thresholds
+    * from CODE, not the drifted README — SURVEY §2.10): every rule's
+    * Spark condition and its DuckDB SQL live side by side so the two
+    * engines cannot drift. Inputs are deterministic trip-shaped analogs
+    * derived from the events table (same roles: distance, fare, tip,
+    * passengers, payment type, locations, ratecode, airport fee,
+    * duration, speed, night flag).
+    */
+  private case class FraudRule(flag: String, pts: Int, spark: Column, duck: String)
+
+  private def fraudRules: Seq[FraudRule] = Seq(
+    FraudRule("impossible_speed", 30,
+      col("speed_mph") > 100.0, "speed_mph > 100.0"),
+    FraudRule("stationary_trip", 25,
+      col("speed_mph") < 2.0 && col("duration_min") > 10.0,
+      "speed_mph < 2.0 AND duration_min > 10.0"),
+    FraudRule("zero_distance_with_fare", 20,
+      col("trip_distance") === 0.0 && col("fare_amount") > 0.0,
+      "trip_distance = 0.0 AND fare_amount > 0.0"),
+    FraudRule("fare_too_high", 20,
+      col("fare_per_mile") > 10.5, "fare_per_mile > 10.5"),
+    FraudRule("negative_fare", 15,
+      col("fare_amount") < 0.0, "fare_amount < 0.0"),
+    FraudRule("tip_exceeds_fare", 25,
+      col("payment_type") === 1 && col("tip_amount") > col("fare_amount"),
+      "payment_type = 1 AND tip_amount > fare_amount"),
+    FraudRule("excessive_tip", 15,
+      col("payment_type") === 1 && col("tip_pct") > 50.0,
+      "payment_type = 1 AND tip_pct > 50.0"),
+    FraudRule("same_location_high_fare", 25,
+      col("pu_id") === col("do_id") && col("fare_amount") > 5.0,
+      "pu_id = do_id AND fare_amount > 5.0"),
+    FraudRule("fake_airport_fee", 20,
+      col("airport_fee") > 0.0 && !col("pu_id").isin(132, 138),
+      "airport_fee > 0.0 AND pu_id NOT IN (132, 138)"),
+    FraudRule("too_many_passengers", 15,
+      col("passenger_count") > 6, "passenger_count > 6"),
+    FraudRule("zero_passengers", 10,
+      col("passenger_count") === 0 && col("fare_amount") > 0.0,
+      "passenger_count = 0 AND fare_amount > 0.0"),
+    FraudRule("night_cash_trip", 10,
+      col("is_night") && col("payment_type") === 2,
+      "is_night AND payment_type = 2"),
+    FraudRule("night_high_tip", 10,
+      col("is_night") && col("tip_pct") > 30.0,
+      "is_night AND tip_pct > 30.0"),
+    FraudRule("fake_jfk_rate", 20,
+      col("ratecode_id") === 2 && col("pu_id") =!= 132 && col("do_id") =!= 132,
+      "ratecode_id = 2 AND pu_id <> 132 AND do_id <> 132"),
+    FraudRule("voided_trip", 20,
+      col("payment_type") === 6, "payment_type = 6"),
+    FraudRule("disputed_trip", 10,
+      col("payment_type") === 4, "payment_type = 4"))
+
   def queries: Map[String, Query] = Map(
+    "q29_fraud_full" -> { (s, dir) =>
+      import s.implicits._
+      // derived trip-shaped inputs (deterministic arithmetic on events
+      // columns, identical in the oracle), then the 15 additive rules +
+      // the unflagged is_night +5 base, clamped at 100 — the exact
+      // calculate_fraud_udf contract, as codegen'd Column exprs (no UDF)
+      val e = Tables.load(s, dir, "events")
+        .withColumn("trip_distance", ($"event_id" % 50).cast("double") / 10.0)
+        .withColumn("fare_amount", $"value" - 10.0)
+        .withColumn("tip_amount", ($"user_id" % 20).cast("double"))
+        .withColumn("passenger_count", ($"user_id" % 8).cast("int"))
+        .withColumn("payment_type", ($"event_id" % 7).cast("int"))
+        .withColumn("pu_id", ($"user_id" % 265 + 1).cast("int"))
+        .withColumn("do_id", (($"user_id" + $"event_id") % 265 + 1).cast("int"))
+        .withColumn("ratecode_id", ($"event_id" % 6 + 1).cast("int"))
+        .withColumn("airport_fee", when($"event_id" % 10 === 0, 1.25).otherwise(0.0))
+        .withColumn("duration_min", ($"event_id" % 90).cast("double"))
+        .withColumn("is_night", hour($"ts") < 6)
+        .withColumn("speed_mph",
+          when($"duration_min" > 0.0, $"trip_distance" / ($"duration_min" / 60.0))
+            .otherwise(0.0))
+        .withColumn("fare_per_mile",
+          when($"trip_distance" > 0.0, $"fare_amount" / $"trip_distance").otherwise(0.0))
+        .withColumn("tip_pct",
+          when($"fare_amount" > 0.0, $"tip_amount" / $"fare_amount" * 100.0)
+            .otherwise(0.0))
+      val score = least(
+        fraudRules.map(r => when(r.spark, r.pts).otherwise(0)).reduce(_ + _)
+          + when($"is_night", 5).otherwise(0),
+        lit(100)).as("fraud_score")
+      val flags = concat_ws(",", fraudRules.map(r => when(r.spark, r.flag)): _*)
+        .as("fraud_flags")
+      e.select($"event_id", score, flags)
+        .filter($"fraud_score" >= 30)
+        .orderBy("event_id")
+    },
+
+    "q46_json_decode" -> { (s, dir) =>
+      import s.implicits._
+      // S6: JSON decode with an explicit schema (from_json → data.*
+      // flatten, fraud_detector.py:201-204) + the ON_ERROR='CONTINUE'
+      // tolerance: every 97th payload is corrupted, parses to null, and
+      // is counted — never dropped silently, never poisons the batch.
+      val raw = Tables.load(s, dir, "events")
+        .withColumn("j", when($"event_id" % 97 === 0,
+          concat(lit("not_json:"), $"props")).otherwise($"props"))
+      val flat = raw
+        .withColumn("data", from_json($"j", "k INT", Map.empty[String, String]))
+        .select($"event_id", $"event_type", $"data.*")
+      flat.groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when($"k".isNotNull, 1L).otherwise(0L)).as("n_parsed"),
+          sum(when($"k".isNull, 1L).otherwise(0L)).as("n_malformed"),
+          sum($"k").as("sum_k"))
+        .orderBy("event_type")
+    },
+
     "q21_rule_score" -> { (s, dir) =>
       import s.implicits._
       val score = least(
@@ -116,6 +228,60 @@ object EventOps extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q29_fraud_full" -> {
+      val scoreSql = fraudRules
+        .map(r => s"CASE WHEN ${r.duck} THEN ${r.pts} ELSE 0 END")
+        .mkString("\n      + ") + "\n      + CASE WHEN is_night THEN 5 ELSE 0 END"
+      val flagsSql = fraudRules
+        .map(r => s"CASE WHEN ${r.duck} THEN '${r.flag}' END")
+        .mkString(",\n      ")
+      s"""WITH d AS (
+         |  SELECT event_id,
+         |    CAST(event_id % 50 AS DOUBLE) / 10.0 AS trip_distance,
+         |    value - 10.0 AS fare_amount,
+         |    CAST(user_id % 20 AS DOUBLE) AS tip_amount,
+         |    CAST(user_id % 8 AS INT) AS passenger_count,
+         |    CAST(event_id % 7 AS INT) AS payment_type,
+         |    CAST(user_id % 265 + 1 AS INT) AS pu_id,
+         |    CAST((user_id + event_id) % 265 + 1 AS INT) AS do_id,
+         |    CAST(event_id % 6 + 1 AS INT) AS ratecode_id,
+         |    CASE WHEN event_id % 10 = 0 THEN 1.25 ELSE 0.0 END AS airport_fee,
+         |    CAST(event_id % 90 AS DOUBLE) AS duration_min,
+         |    hour(ts) < 6 AS is_night
+         |  FROM events),
+         |d2 AS (
+         |  SELECT *,
+         |    CASE WHEN duration_min > 0.0 THEN trip_distance / (duration_min / 60.0)
+         |         ELSE 0.0 END AS speed_mph,
+         |    CASE WHEN trip_distance > 0.0 THEN fare_amount / trip_distance
+         |         ELSE 0.0 END AS fare_per_mile,
+         |    CASE WHEN fare_amount > 0.0 THEN tip_amount / fare_amount * 100.0
+         |         ELSE 0.0 END AS tip_pct
+         |  FROM d),
+         |scored AS (
+         |  SELECT event_id,
+         |    least($scoreSql, 100) AS fraud_score,
+         |    concat_ws(',',
+         |      $flagsSql) AS fraud_flags
+         |  FROM d2)
+         |SELECT event_id, fraud_score, fraud_flags FROM scored
+         |WHERE fraud_score >= 30 ORDER BY event_id""".stripMargin
+    },
+
+    "q46_json_decode" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN json_valid(j) THEN CAST(json_extract_string(j, '$.k') AS INT) END AS k
+        |  FROM (
+        |    SELECT event_type,
+        |      CASE WHEN event_id % 97 = 0 THEN 'not_json:' || props ELSE props END AS j
+        |    FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q21_rule_score" ->
       """SELECT event_id, event_type, value, risk_score, flags FROM (
         |  SELECT event_id, event_type, value,

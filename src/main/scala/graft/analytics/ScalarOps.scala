@@ -107,7 +107,16 @@ object ScalarOps extends QueryPack {
           date_format($"d", "MMMM").as("month_name"),
           last_day($"d").as("month_end"),
           (dayofweek($"d").isin(1, 7)).as("is_weekend"),
-          date_trunc("quarter", $"d").cast("date").as("quarter_start"))
+          date_trunc("quarter", $"d").cast("date").as("quarter_start"),
+          // dim_date long tail (dim_date.sql:31-44): ISO week, day name,
+          // month start, first business day (month start rolled off a
+          // weekend: Sun→+1, Sat→+2)
+          weekofyear($"d").as("week_of_year"),
+          date_format($"d", "EEEE").as("day_name"),
+          trunc($"d", "month").as("month_start"),
+          when(dayofweek(trunc($"d", "month")) === 1, date_add(trunc($"d", "month"), 1))
+            .when(dayofweek(trunc($"d", "month")) === 7, date_add(trunc($"d", "month"), 2))
+            .otherwise(trunc($"d", "month")).as("first_business_day"))
         .orderBy("d")
     },
 
@@ -181,7 +190,15 @@ object ScalarOps extends QueryPack {
         |  monthname(d) AS month_name,
         |  last_day(d) AS month_end,
         |  dayofweek(d) IN (0, 6) AS is_weekend,
-        |  CAST(date_trunc('quarter', d) AS DATE) AS quarter_start
+        |  CAST(date_trunc('quarter', d) AS DATE) AS quarter_start,
+        |  CAST(weekofyear(d) AS INT) AS week_of_year,
+        |  dayname(d) AS day_name,
+        |  CAST(date_trunc('month', d) AS DATE) AS month_start,
+        |  CASE WHEN dayofweek(date_trunc('month', d)) = 0
+        |         THEN CAST(date_trunc('month', d) AS DATE) + 1
+        |       WHEN dayofweek(date_trunc('month', d)) = 6
+        |         THEN CAST(date_trunc('month', d) AS DATE) + 2
+        |       ELSE CAST(date_trunc('month', d) AS DATE) END AS first_business_day
         |FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31',
         |        INTERVAL 1 DAY)) AS d)
         |ORDER BY d""".stripMargin,

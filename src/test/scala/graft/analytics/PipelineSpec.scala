@@ -61,6 +61,26 @@ class PipelineSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("approx uniqueness warn-gate: fires on duplicates, silent on unique keys, one scan") {
+    import spark.implicits._
+    // 200 rows over 50 distinct (order_key, line_no) pairs → 150 dups
+    val dups = (1 to 200).map(i => ((i % 50).toLong, i % 5)).toDF("order_key", "line_no")
+    val est = Pipeline.Checks.gateOnePassApproxUnique("unit", dups,
+      Seq("order_key", "line_no"), "not_null_k" -> col("order_key").isNull)
+    assert(est > 100, s"approx dup signal missed seeded duplicates: $est")
+    // unique keys: under the noise floor → 0, no warn
+    val uniq = (1 to 200).map(i => (i.toLong, 1)).toDF("order_key", "line_no")
+    assert(Pipeline.Checks.gateOnePassApproxUnique("unit", uniq,
+      Seq("order_key", "line_no"), "not_null_k" -> col("order_key").isNull) == 0L)
+    // error-severity predicates folded into the same scan still fail hard
+    val e = intercept[RuntimeException] {
+      Pipeline.Checks.gateOnePassApproxUnique("unit",
+        dups.withColumn("order_key", lit(null).cast("long")),
+        Seq("order_key", "line_no"), "not_null_k" -> col("order_key").isNull)
+    }
+    assert(e.getMessage.contains("not_null_k"), e.getMessage)
+  }
+
   test("marts are consistent with each other (same validated row universe)") {
     Pipeline.reset()
     val marts = Pipeline.run(spark, dir)

@@ -111,15 +111,31 @@ class PlanQualitySpec extends SparkSpec {
     graft.analytics.Pipeline.reset()
   }
 
-  test("q44 IVF: only the intended 10-cell broadcast is nested-loop; pair joins are hash") {
+  test("q44 IVF: only the √n-row codebook broadcast is nested-loop; probe/pair joins are hash") {
     val df = graft.SparkEntry.queries("q44_ann_ivf")(spark, dir)
     df.count()
     val p = df.queryExecution.executedPlan.toString
-    // the codebook cross join broadcasts 10 rows — allowed; the candidate
-    // and scoring joins must be equi-joins, never a big-side cartesian
+    // the codebook cross join broadcasts ⌊√n⌋ sampled medoids — allowed;
+    // the candidate (probe) and scoring joins must be equi-joins, never a
+    // big-side cartesian
     assert(!p.contains("CartesianProduct"), p)
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(bnl <= 2, s"unexpected nested-loop joins beyond the codebook: $bnl\n$p")
+    // the probe join (assigned ⋈ probes on cell) and scoring joins stay
+    // hash/merge equi-joins
+    val equiJoins = "BroadcastHashJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size + "SortMergeJoin".r.findAllIn(p).size
+    assert(equiJoins >= 3, s"expected equi-joins for probe+scoring, got $equiJoins\n$p")
+  }
+
+  test("q38 brute-force ANN: broadcast query side is bounded by a constant limit") {
+    val df = graft.SparkEntry.queries("q38_ann_brute_topk")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the broadcast side must be capped by construction (limit K), not
+    // grow as a fraction of the corpus
+    assert(("TakeOrderedAndProject\\(limit=" + AnnOps.BruteQueryK).r.findFirstIn(p).isDefined,
+      s"no constant-size cap on the broadcast query set:\n$p")
   }
 
   test("q35 LSH pairs stay distributed: no driver round-trip in the plan") {

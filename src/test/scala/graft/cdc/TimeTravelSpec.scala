@@ -71,4 +71,25 @@ class TimeTravelSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](table.readVersion(spark, vOld))
     assert(e.getMessage.contains("expired") || e.getMessage.contains("no snapshot"))
   }
+
+  test("expireSnapshots skips data dirs above _current (in-flight writer guard)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("gc-guard").toString
+    val table = new SnapshotTable(root, 4)
+    table.init(Model.tokenDocSchema)
+    MergeEngine.merge(spark, table,
+      Seq(ev(1, "a", Seq(1))).toDF(cols: _*), "gc", 0L)
+    MergeEngine.compact(spark, table)
+    // simulate a concurrent writer's not-yet-committed output: a data dir
+    // numbered ABOVE the current version
+    val inflight = Paths.get(root, "data/v999/_bucket=0")
+    Files.createDirectories(inflight)
+    val orphan = inflight.resolve("part-inflight-00000.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    val (mDel, _) = table.expireSnapshots(keepLast = 1)
+    assert(mDel > 0)
+    assert(Files.exists(orphan), "GC deleted an in-flight writer's uncommitted file")
+    assert(table.read(spark).count() == 1)
+  }
 }
