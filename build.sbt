@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default: the scaling series (graft.Bench / ScaleBench) measures
+  // GC-pressure artifacts instead of the engine when 32 cores share a
+  // small heap; the VM has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
 
 // ad-hoc JVM flags for perf experiments (e.g. GRAFT_JAVA_OPTS="-Xlog:gc")

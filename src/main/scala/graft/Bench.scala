@@ -1,5 +1,16 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver bench surface: one JSON line with per-query wall times at the
+  * target SF, PLUS the north-rule two-cluster-size scaling evidence — the
+  * same end-to-end ingest at local[2]/local[8]/local[32] with per-pair
+  * scaling efficiency and the machine's own CPU envelope (this VM's
+  * hypervisor oversubscription caps even pure-CPU loops at ~0.78 for
+  * 8→32; see BASELINE.md). Tunables: SPARK_GRAFT_SCALE_EVENTS,
+  * SPARK_GRAFT_SCALE_CORES, SPARK_GRAFT_SCALE_REPEATS,
+  * SPARK_GRAFT_SKIP_SCALING=1 to run queries only.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,7 +33,25 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // scaling series (tmpfs-backed so the VM's 5x-variance virtual disk
+    // isn't what gets measured; dir is removed by runSeries)
+    val scaling =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) ""
+      else {
+        val events = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "8000000").toLong
+        val cores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "2,8,32")
+          .split(",").toSeq.map(_.trim.toInt)
+        val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "3").toInt
+        val workBase = sys.env.get("GRAFT_WORK_DIR")
+          .orElse(Some("/dev/shm/graft-bench"))
+          .map(java.nio.file.Paths.get(_))
+        val s = graft.cdc.ScaleBench.runSeries(
+          events, numFiles = 16, perTrigger = 100, cores, repeats, workBase)
+        s""","scaling":${s.toJson}"""
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaling}""")
   }
 }

@@ -177,6 +177,29 @@ object CdcOps extends QueryPack {
           sum($"n_tok" - size($"tokens")).as("n_tok_excess"))
         .orderBy("epoch")
     },
+    // Incremental-consumer read (SURVEY §4.3 / S2 downstream side): the
+    // manifest-pruned "changed since LSN X" scan — readBuckets skips any
+    // file whose maxLsn is below the threshold before reading a byte, and
+    // returns only current winners at/above it. Here every bucket is
+    // requested (bucket ids hash with Spark's xxhash64, not reproducible
+    // in SQL) so the DuckDB oracle derives the same set purely from the
+    // changelog rules: survivors whose FINAL lsn (3d, or 3d+1 when
+    // updated) clears the threshold. File-skipping correctness under
+    // arbitrary bucket subsets is property-tested in
+    // ReadPruningPropertySpec; this query puts the read path under the
+    // driver's hash gate.
+    "q49_incremental_read" -> { (s, dir) =>
+      import s.implicits._
+      val t = replayFor(s, dir).table
+      val m = t.manifest.get
+      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val minLsn = 3L * (maxDid / 2)
+      t.readBuckets(s, (0 until m.numBuckets).toSet, minLsn)
+        .select($"doc_id",
+          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
+          $"n_tok", col(Model.LsnCol).as("lsn"))
+        .orderBy("doc_id")
+    },
     // Snapshot-history diff via time travel (SnapshotTable.readVersion):
     // the rows that changed between two replay checkpoints — state after
     // epoch 2 (v3) vs after epoch 3 (v4) — derived independently in SQL
@@ -267,6 +290,29 @@ object CdcOps extends QueryPack {
         |                WHEN doc_id % 5 = 0 THEN 3 * doc_id + 1
         |                ELSE 3 * doc_id END) AS BIGINT) AS watermark
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Survivors whose final LSN clears the changed-since threshold
+    // (3·⌊maxDid/2⌋): insert lsn 3d, bumped to 3d+1 by a d%5 update.
+    "q49_incremental_read" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
+         |    list_transform(
+         |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+         |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
+         |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks
+         |  FROM documents),
+         |final AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(
+         |      CASE WHEN did % 5 = 0
+         |           THEN list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT))
+         |           ELSE base_toks END, ',')) AS tokens_fp,
+         |    CAST(len(base_toks) AS INT) AS n_tok,
+         |    CAST(CASE WHEN did % 5 = 0 THEN 3 * did + 1 ELSE 3 * did END AS BIGINT) AS lsn
+         |  FROM toks WHERE did % 17 <> 0)
+         |SELECT doc_id, tokens_fp, n_tok, lsn FROM final
+         |WHERE lsn >= 3 * ((SELECT max(doc_id) FROM documents) // 2)
+         |ORDER BY doc_id""".stripMargin,
 
     // One malformed event per d%23==0 doc, quarantined in its chunk's
     // epoch; each overshoots size(tokens) by exactly 1.

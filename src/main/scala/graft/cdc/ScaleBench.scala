@@ -1,20 +1,41 @@
 package graft.cdc
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Two-cluster-size scaling evidence (BASELINE.json north rule, sandbox
   * protocol): run the identical end-to-end ingest (log-tail → fenced MERGE
-  * → snapshot commits) on the same pre-generated changelog at local[8] and
-  * local[32], report sustained events/s at both plus scaling efficiency
-  * = eps(4N) / (4 × eps(N)).
+  * → snapshot commits) on the same pre-generated changelog at several
+  * local[N] widths, report sustained events/s at each plus the scaling
+  * efficiency of every consecutive pair = eps(hi) / ((hi/lo) × eps(lo)).
   *
   * Usage: runMain graft.cdc.ScaleBench [numEvents] [numFiles] [filesPerTrigger]
-  * Prints one JSON line; full numbers land in BASELINE.md.
+  * (cores via GRAFT_CORES, repeats via GRAFT_REPEATS, tmpfs work dir via
+  * GRAFT_WORK_DIR). Prints one JSON line; graft.Bench embeds the same
+  * series in BENCH_r{N}.json via [[runSeries]].
   */
 object ScaleBench {
 
-  private def session(cores: Int): SparkSession = {
+  final case class PairResult(lo: Int, hi: Int, efficiency: Double,
+      machineEnvelope: Double) {
+    def engineVsMachine: Double = efficiency / machineEnvelope
+  }
+
+  final case class Series(events: Long, eps: Map[Int, Double], pairs: Seq[PairResult]) {
+    def toJson: String = {
+      def r3(x: Double) = math.round(x * 1000) / 1000.0
+      val epsJson = eps.toSeq.sortBy(_._1)
+        .map { case (c, e) => s""""$c":${e.round}""" }.mkString("{", ",", "}")
+      val pairsJson = pairs.map { p =>
+        s"""{"cores":[${p.lo},${p.hi}],"scaling_efficiency":${r3(p.efficiency)},""" +
+          s""""machine_cpu_envelope":${r3(p.machineEnvelope)},""" +
+          s""""engine_vs_machine":${r3(p.engineVsMachine)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"events":$events,"eps":$epsJson,"pairs":$pairsJson}"""
+    }
+  }
+
+  private def session(cores: Int, workDir: Option[Path]): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val b = SparkSession.builder()
@@ -31,15 +52,15 @@ object ScaleBench {
     // measures the engine, not this VM's 5x-variance virtual disk);
     // spark.local.dir is read at SparkContext start, so set it per
     // session before the first context of the run
-    sys.env.get("GRAFT_WORK_DIR").foreach { d =>
-      Files.createDirectories(java.nio.file.Paths.get(d))
-      b.config("spark.local.dir", d)
+    workDir.foreach { d =>
+      Files.createDirectories(d)
+      b.config("spark.local.dir", d.toString)
     }
     b.getOrCreate()
   }
 
-  private def tuned(cores: Int): SparkSession = {
-    val s = session(cores)
+  private def tuned(cores: Int, workDir: Option[Path]): SparkSession = {
+    val s = session(cores, workDir)
     graft.util.Sessions.trimHadoopConf(s)
     s
   }
@@ -48,7 +69,7 @@ object ScaleBench {
     * hashing a fixed workload — no Spark, no shared state, no I/O. This
     * is the ceiling the host grants ANY computation at that parallelism.
     */
-  private def machineEnvelope(threads: Int): Double = {
+  def machineEnvelope(threads: Int): Double = {
     def unit(): Unit = {
       val md = java.security.MessageDigest.getInstance("SHA-256")
       var h = new Array[Byte](1024)
@@ -65,14 +86,14 @@ object ScaleBench {
     }.max
   }
 
-  def main(args: Array[String]): Unit = {
-    val numEvents = args.lift(0).map(_.toLong).getOrElse(4000000L)
-    val numFiles = args.lift(1).map(_.toInt).getOrElse(32)
-    val perTrigger = args.lift(2).map(_.toInt).getOrElse(8)
-    // GRAFT_WORK_DIR=/dev/shm/... takes the VM's disk out of the
-    // measurement (the north metric is the ENGINE's scaling; this
-    // sandbox's virtual disk throughput varies 5x between runs)
-    val workBase = sys.env.get("GRAFT_WORK_DIR").map(java.nio.file.Paths.get(_))
+  /** Run the full series: generate once, one untimed warmup replay, then
+    * `repeats` interleaved timed replays per core count (best-of, see
+    * noise note below), plus the machine's own CPU-scaling envelope per
+    * consecutive core pair. Leaves no state behind (work dir deleted).
+    */
+  def runSeries(numEvents: Long, numFiles: Int, perTrigger: Int,
+      cores: Seq[Int], repeats: Int, workBase: Option[Path],
+      stageTiming: Boolean = false): Series = {
     workBase.foreach(Files.createDirectories(_))
     val work = workBase
       .map(b => Files.createTempDirectory(b, "graft-scale"))
@@ -83,7 +104,7 @@ object ScaleBench {
       numPartitions = 8, numFiles = numFiles)
 
     // generate once (untimed) with full parallelism
-    val gen = session(32)
+    val gen = session(32, workBase)
     gen.sparkContext.setLogLevel("WARN")
     ChangelogGen.writeLog(gen, cfg, s"$work/log")
     val delivered = numEvents + ChangelogGen.duplicates(gen, cfg).count()
@@ -94,7 +115,7 @@ object ScaleBench {
     // paying compilation costs the others don't (a serial term that
     // would understate scaling efficiency).
     {
-      val warm = tuned(8)
+      val warm = tuned(8, workBase)
       warm.sparkContext.setLogLevel("WARN")
       val wcfg = cfg.copy(numEvents = 200000L, numDocs = 50000L, numFiles = 2)
       ChangelogGen.writeLog(warm, wcfg, s"$work/warmlog")
@@ -111,92 +132,93 @@ object ScaleBench {
     // same shuffle, minutes apart, with zero competing processes).
     // Interleave repeated runs per core count and take the best of each —
     // the best run is the one that reflects the engine, not the neighbor.
-    val repeats = sys.env.getOrElse("GRAFT_REPEATS", "3").toInt
-    val coresBase = sys.env.getOrElse("GRAFT_CORES", "8,32").split(",").toSeq.map(_.trim.toInt)
-    val coresSeq = Seq.fill(repeats)(coresBase).flatten
-    val runResults = coresSeq.map { cores =>
-      val spark = tuned(cores)
+    val coresSeq = Seq.fill(repeats)(cores).flatten
+    val runResults = coresSeq.map { c =>
+      val spark = tuned(c, workBase)
       spark.sparkContext.setLogLevel("WARN")
-      if (sys.env.get("GRAFT_STAGE_TIMING").contains("1")) {
-        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-            val si = sc.stageInfo
-            val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
-            val cpu = si.taskMetrics.executorRunTime / 1e3
-            val spill = si.taskMetrics.memoryBytesSpilled + si.taskMetrics.diskBytesSpilled
-            val gc = si.taskMetrics.jvmGCTime / 1e3
-            if (wall > 0.3)
-              println(f"[stage] c=$cores id=${si.stageId} tasks=${si.numTasks} " +
-                f"wall=$wall%.1f taskSum=$cpu%.1f gc=$gc%.1f spill=${spill / 1e6}%.0fMB ${si.name.take(60)}")
-          }
-        })
-      }
-      if (sys.env.get("GRAFT_STAGE_TIMING").contains("1")) {
-        spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
-          import org.apache.spark.sql.streaming.StreamingQueryListener._
-          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-          override def onQueryProgress(e: QueryProgressEvent): Unit = {
-            val p = e.progress
-            println(s"[batch] c=$cores batch=${p.batchId} rows=${p.numInputRows} " +
-              s"durations=${p.durationMs}")
-          }
-        })
-      }
+      if (stageTiming) addTimingListeners(spark, c)
       val runId = java.util.UUID.randomUUID().toString.take(8)
       val t0 = System.nanoTime()
       val table = IngestJob.replay(spark, IngestJob.Config(
         logDir = s"$work/log",
-        tableDir = s"$work/table-$cores-$runId",
-        checkpointDir = s"$work/ckpt-$cores-$runId",
+        tableDir = s"$work/table-$c-$runId",
+        checkpointDir = s"$work/ckpt-$c-$runId",
         maxFilesPerTrigger = Some(perTrigger),
         numBuckets = 32,
         compactEvery = 2,
-        queryId = s"scale-$cores"))
+        queryId = s"scale-$c"))
       // end-to-end honesty: the timed window ends with a fully compacted
       // (base-only) table, so no reconcile work is deferred past the clock
-      MergeEngine.compact(spark, new SnapshotTable(s"$work/table-$cores-$runId", 32))
+      MergeEngine.compact(spark, new SnapshotTable(s"$work/table-$c-$runId", 32))
       val secs = (System.nanoTime() - t0) / 1e9
       val rows = table.manifest.get.files.map(_.rows).sum
       spark.stop()
-      println(f"[scale] local[$cores]: $secs%.1f s, ${delivered / secs}%.0f events/s, $rows rows")
+      System.err.println(
+        f"[scale] local[$c]: $secs%.1f s, ${delivered / secs}%.0f events/s, $rows rows")
       // each repeat leaves a multi-GB table+checkpoint — delete eagerly
       // (a full bench series filled the disk otherwise)
-      Seq(s"$work/table-$cores-$runId", s"$work/ckpt-$cores-$runId").foreach { d =>
-        scala.util.Try {
-          import scala.jdk.CollectionConverters._
-          Files.walk(java.nio.file.Paths.get(d)).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-        }
-      }
-      cores -> delivered / secs
+      Seq(s"$work/table-$c-$runId", s"$work/ckpt-$c-$runId")
+        .foreach(d => scala.util.Try(graft.util.Tables.deleteRecursively(d)))
+      c -> delivered / secs
     }
 
-    val results = runResults.groupBy(_._1).map { case (c, rs) => c -> rs.map(_._2).max }
-    val cMin = results.keys.min; val cMax = results.keys.max
-    val ratio = cMax.toDouble / cMin
-    val eff = (results(cMax) / results(cMin)) / ratio
-    // The MACHINE's own scaling envelope for the same core pair: a pure
+    val eps = runResults.groupBy(_._1).map { case (c, rs) => c -> rs.map(_._2).max }
+    // The MACHINE's own scaling envelope for each core pair: a pure
     // in-JVM CPU loop (SHA-256 chain, zero coordination, zero I/O). On
     // this sandbox VM the envelope is itself well below 1.0 at high
     // thread counts (hypervisor CPU oversubscription) — engine efficiency
     // can never exceed it, so it is reported alongside.
-    val envMin = machineEnvelope(cMin); val envMax = machineEnvelope(cMax)
-    val envelope = (envMax / envMin) / ratio
-    val epsJson = results.toSeq.sortBy(_._1)
-      .map { case (c, e) => s""""$c":${e.round}""" }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"cdc_scaling","events":$delivered,"cores":[$cMin,$cMax],""" +
-        s""""eps":$epsJson,"scaling_efficiency":${math.round(eff * 1000) / 1000.0},""" +
-        s""""machine_cpu_envelope":${math.round(envelope * 1000) / 1000.0},""" +
-        s""""engine_vs_machine":${math.round(eff / envelope * 1000) / 1000.0}}""")
+    val env = cores.sorted.map(c => c -> machineEnvelope(c)).toMap
+    val pairs = cores.sorted.sliding(2).collect { case Seq(lo, hi) =>
+      val ratio = hi.toDouble / lo
+      PairResult(lo, hi,
+        efficiency = (eps(hi) / eps(lo)) / ratio,
+        machineEnvelope = (env(hi) / env(lo)) / ratio)
+    }.toSeq
     // free the work dir eagerly (tmpfs runs would otherwise pin RAM)
-    scala.util.Try {
-      import scala.jdk.CollectionConverters._
-      Files.walk(java.nio.file.Paths.get(work)).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
+    scala.util.Try(graft.util.Tables.deleteRecursively(work))
+    Series(delivered, eps, pairs)
+  }
+
+  private def addTimingListeners(spark: SparkSession, cores: Int): Unit = {
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        val cpu = si.taskMetrics.executorRunTime / 1e3
+        val spill = si.taskMetrics.memoryBytesSpilled + si.taskMetrics.diskBytesSpilled
+        val gc = si.taskMetrics.jvmGCTime / 1e3
+        if (wall > 0.3)
+          println(f"[stage] c=$cores id=${si.stageId} tasks=${si.numTasks} " +
+            f"wall=$wall%.1f taskSum=$cpu%.1f gc=$gc%.1f spill=${spill / 1e6}%.0fMB ${si.name.take(60)}")
+      }
+    })
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        println(s"[batch] c=$cores batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durations=${p.durationMs}")
+      }
+    })
+  }
+
+  def main(args: Array[String]): Unit = {
+    val numEvents = args.lift(0).map(_.toLong).getOrElse(4000000L)
+    val numFiles = args.lift(1).map(_.toInt).getOrElse(32)
+    val perTrigger = args.lift(2).map(_.toInt).getOrElse(8)
+    // GRAFT_WORK_DIR=/dev/shm/... takes the VM's disk out of the
+    // measurement (the north metric is the ENGINE's scaling; this
+    // sandbox's virtual disk throughput varies 5x between runs)
+    val workBase = sys.env.get("GRAFT_WORK_DIR").map(Paths.get(_))
+    val repeats = sys.env.getOrElse("GRAFT_REPEATS", "3").toInt
+    val cores = sys.env.getOrElse("GRAFT_CORES", "8,32").split(",").toSeq.map(_.trim.toInt)
+    val series = runSeries(numEvents, numFiles, perTrigger, cores, repeats, workBase,
+      stageTiming = sys.env.get("GRAFT_STAGE_TIMING").contains("1"))
+    println(s"""{"metric":"cdc_scaling",${series.toJson.tail}""")
     ()
   }
 }
