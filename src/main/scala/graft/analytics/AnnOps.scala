@@ -34,8 +34,14 @@ object AnnOps extends QueryPack {
   private val duckQe =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
 
+  /** Exact int64 dot product — a custom codegen'd Catalyst expression
+    * ([[graft.functions.LongArrayDot]]); the HOF chain
+    * `aggregate(zip_with(...))` it replaces is CodegenFallback and
+    * allocated an intermediate array per pair, breaking whole-stage
+    * codegen at the hottest operator of every ANN query.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.ArrayDot.dotLong(a, b)
 
   /** Multi-table hyperplane LSH for q39: `NTables` independent tables of
     * `NPlanes` planes each → 2^12 = 4096 buckets per table. Expected
@@ -74,7 +80,7 @@ object AnnOps extends QueryPack {
     import s.implicits._
     Tables.load(s, dir, "embeddings")
       .select($"vec_id", $"label", qe($"embedding").as("qe"))
-      .withColumn("norm2", aggregate($"qe", lit(0L), (a, x) => a + x * x))
+      .withColumn("norm2", dot($"qe", $"qe"))
   }
 
   private val duckQuantized =
@@ -130,7 +136,8 @@ object AnnOps extends QueryPack {
         .agg(count(lit(1)).as("n_shared_tables"))
       val scored = pairs
         .join(n.select($"vec_id", $"qe", $"norm2"), Seq("vec_id"))
-        .join(n.select($"vec_id".as("query_id"), $"qe".as("q_qe"), $"norm2".as("q_n2")),
+        .join(n.filter($"vec_id" % 100 === 0)
+          .select($"vec_id".as("query_id"), $"qe".as("q_qe"), $"norm2".as("q_n2")),
           Seq("query_id"))
         .withColumn("score",
           dot($"q_qe", $"qe").cast("double") /
@@ -189,21 +196,35 @@ object AnnOps extends QueryPack {
         .filter($"vec_id" % stride === 0 && $"vec_id" < cells * stride)
         .select(($"vec_id" / stride).cast("int").as("cell"),
           $"qe".as("cvec"), $"norm2".as("cnorm2"))
-      val scoredCells = n.crossJoin(broadcast(cent))
+      def cellScored(vecs: DataFrame): DataFrame = vecs
+        .crossJoin(broadcast(cent))
         .withColumn("cscore",
           dot($"qe", $"cvec").cast("double") /
             sqrt($"norm2".cast("double")) / sqrt($"cnorm2".cast("double")))
+      // assignment = per-vector argmax over cells: a map-side-combinable
+      // hash agg (max of an orderable struct; -cell encodes the cell-asc
+      // tie-break), NOT a global row_number window — at 100 TB the window
+      // is a full sort shuffle of n×cells rows, the argmax agg is a
+      // partial-agg of the same rows with √n-sized groups
+      val assigned = cellScored(n)
+        .groupBy($"vec_id")
+        .agg(max(struct($"cscore", (-$"cell").as("negcell"))).as("best"))
+        .select($"vec_id", (-$"best.negcell").cast("int").as("cell"))
+      // only query vectors need the top-3 multi-probe ranking: filter to
+      // the bounded query set BEFORE the window, so the sort is over
+      // |Q|×cells rows, not n×cells
+      val probes = cellScored(n.filter($"vec_id" % 100 === 0))
         .withColumn("crank", row_number().over(
           Window.partitionBy($"vec_id").orderBy($"cscore".desc, $"cell")))
-      val assigned = scoredCells.filter($"crank" === 1).select($"vec_id", $"cell")
-      val probes = scoredCells.filter($"vec_id" % 100 === 0 && $"crank" <= 3)
+        .filter($"crank" <= 3)
         .select($"vec_id".as("query_id"), $"cell")
       val pairs = assigned.join(probes, Seq("cell"))
         .filter($"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id", $"cell")
       val scored = pairs
         .join(n.select($"vec_id", $"qe", $"norm2"), Seq("vec_id"))
-        .join(n.select($"vec_id".as("query_id"), $"qe".as("q_qe"), $"norm2".as("q_n2")),
+        .join(n.filter($"vec_id" % 100 === 0)
+          .select($"vec_id".as("query_id"), $"qe".as("q_qe"), $"norm2".as("q_n2")),
           Seq("query_id"))
         .withColumn("score",
           dot($"q_qe", $"qe").cast("double") /

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd integer dot product over two `array<bigint>` columns — the
+  * inner loop of the ANN family (q38/q39/q44 scoring, hyperplane bucket
+  * signs, norm² computation).
+  *
+  * Why a custom Catalyst expression and not
+  * `aggregate(zip_with(a, b, _*_), 0L, _+_)`: the higher-order-function
+  * chain materializes an intermediate 64-element array per row pair and
+  * evaluates its lambdas interpreted (HigherOrderFunction is
+  * CodegenFallback), breaking the surrounding whole-stage-codegen span at
+  * exactly the hottest operator. This expression compiles to a primitive
+  * `long` accumulation loop over the two unsafe array buffers — no
+  * allocation, no virtual calls — and keeps the span fused. Semantics are
+  * identical on the quantized-int embeddings (exact int64 arithmetic, so
+  * results stay bit-identical across engines and the DuckDB oracles are
+  * unchanged).
+  *
+  * Contract: element values must be non-null (quantization produces
+  * non-null elements); lengths may differ, the shorter prefix is summed.
+  * (`zip_with` instead null-PADS the shorter side, which null-poisons the
+  * aggregate — the two agree exactly on equal lengths, which the
+  * fixed-dim embedding schema guarantees.)
+  */
+case class LongArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_array_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<bigint> inputs, got " +
+            s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayDot {
+  /** Column wrapper: exact int64 dot product of two array<bigint> columns.
+    * Session-independent (no registry needed); SQL-text users get the same
+    * expression as `long_array_dot(a, b)` via [[graft.GraftExtensions]].
+    */
+  def dotLong(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      LongArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
