@@ -28,10 +28,10 @@ object AnnOps extends QueryPack {
   private val NPlanes = 12
 
   /** Quantized embedding (Spark). */
-  private def qe(c: Column): Column =
+  private[analytics] def qe(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000, 0).cast("long"))
 
-  private val duckQe =
+  private[analytics] val duckQe =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
 
   /** Exact int64 dot product — a custom codegen'd Catalyst expression
@@ -58,18 +58,18 @@ object AnnOps extends QueryPack {
     * planes are pairwise distinct (verified), and the arithmetic is
     * engine-exact in both Spark and DuckDB.
     */
-  private val NTables = 4
+  private[analytics] val NTables = 4
   private val TableA = Seq(2, 3, 5, 7)
 
   private def plane(t: Int, j: Int): Seq[Long] =
     (1 to Dim).map(i => (((i * TableA(t) + j) % 13) - 6).toLong)
 
-  private def bucketCol(q: Column, t: Int): Column =
+  private[analytics] def bucketCol(q: Column, t: Int): Column =
     (0 until NPlanes).map { j =>
       when(dot(q, typedLit(plane(t, j))) >= 0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
 
-  private def duckBucket(t: Int): String =
+  private[analytics] def duckBucket(t: Int): String =
     (0 until NPlanes).map { j =>
       s"""(CASE WHEN CAST(list_sum(list_transform(generate_series(1, $Dim),
          |    i -> qe[i] * ((i*${TableA(t)} + $j) % 13 - 6))) AS BIGINT) >= 0

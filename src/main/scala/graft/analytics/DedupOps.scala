@@ -225,6 +225,63 @@ object DedupOps extends QueryPack {
         .withColumn("jaccard", $"n_inter".cast("double") / $"n_union")
         .withColumn("is_near_dup", $"jaccard" >= 0.6)
         .orderBy("d1", "d2")
+    },
+
+    // Embedding-cosine near-dup — the vector-space tier of the dedup
+    // family (MinHash/SimHash catch lexical near-dups; this catches
+    // semantic ones). The raw embeddings table has no near-dup pairs
+    // (max pairwise cosine ≈ 0.51), so the corpus is augmented
+    // deterministically like the text tiers above: every vec_id % 40 == 0
+    // vector gets a copy at id+1000000 with component (vec_id % 64)
+    // bumped by +1 quantization step → cosine ≈ 0.9999998, far above the
+    // τ=0.995 threshold, while random pairs stay far below.
+    //
+    // Scale shape: candidates come from the SAME multi-table hyperplane
+    // LSH as q39 (equi-join on (table, bucket), never all-pairs); the
+    // near-dup test is EXACT integer arithmetic — cosine ≥ τ ⟺
+    // (1000·dot)² ≥ 995²·n1·n2 with dot > 0 — evaluated in decimal(38,0)
+    // (Spark) / HUGEINT (DuckDB), so the threshold can never flip on a
+    // float rounding boundary. Keep-lowest-id policy: each dropped vector
+    // reports its smallest surviving near-dup partner.
+    "q52_embedding_neardup" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.ArrayDot.dotLong
+      val base = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", AnnOps.qe($"embedding").as("qe"))
+      val dups = base.filter($"vec_id" % 40 === 0)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"qe", (x, i) =>
+            x + when(i === ($"vec_id" % 64).cast("int"), 1L).otherwise(0L)).as("qe"))
+      val corpus = base.unionByName(dups)
+        .withColumn("norm2", dotLong($"qe", $"qe"))
+      val sigs = corpus.select($"vec_id",
+          explode(array((0 until AnnOps.NTables).map(t =>
+            struct(lit(t).as("t"), AnnOps.bucketCol($"qe", t).as("bucket"))): _*)).as("tb"))
+        .select($"vec_id", $"tb.t".as("t"), $"tb.bucket".as("bucket"))
+      val cand = sigs.as("a")
+        .join(sigs.as("b"),
+          col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      val feat = corpus.select($"vec_id", $"qe", $"norm2")
+      val near = cand
+        .join(feat.select($"vec_id".as("a_id"), $"qe".as("a_qe"), $"norm2".as("a_n2")),
+          Seq("a_id"))
+        .join(feat.select($"vec_id".as("b_id"), $"qe".as("b_qe"), $"norm2".as("b_n2")),
+          Seq("b_id"))
+        .withColumn("dot", dotLong($"a_qe", $"b_qe"))
+        .filter($"dot" > 0 &&
+          $"dot".cast("decimal(38,0)") * $"dot" * lit(1000000L) >=
+            lit(990025L).cast("decimal(38,0)") * $"a_n2" * $"b_n2")
+        .withColumn("score", $"dot".cast("double") /
+          sqrt($"a_n2".cast("double")) / sqrt($"b_n2".cast("double")))
+      near
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"b_id").orderBy($"a_id")))
+        .filter($"rn" === 1)
+        .select($"b_id".as("dropped_id"), $"a_id".as("kept_id"), $"dot", $"score")
+        .orderBy("dropped_id")
     }
   )
 
@@ -272,6 +329,47 @@ object DedupOps extends QueryPack {
          |SELECT d1, d2, n_inter, n_union,
          |  CAST(n_inter AS DOUBLE) / n_union AS jaccard,
          |  CAST(n_inter AS DOUBLE) / n_union >= 0.6 AS is_near_dup
-         |FROM joined ORDER BY d1, d2""".stripMargin
+         |FROM joined ORDER BY d1, d2""".stripMargin,
+
+    // Same LSH candidate generation as the Spark side (oracle == query by
+    // construction even if a bucket ever split a planted pair), and the
+    // same exact-integer threshold in HUGEINT.
+    "q52_embedding_neardup" -> {
+      val sigSelects = (0 until AnnOps.NTables).map(t =>
+        s"SELECT vec_id, $t AS t, ${AnnOps.duckBucket(t)} AS bucket FROM qn")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH base AS (SELECT vec_id, ${AnnOps.duckQe} AS qe FROM embeddings),
+         |dup AS (
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |    list_transform(generate_series(1, 64),
+         |      i -> qe[i] + CASE WHEN i - 1 = j THEN 1 ELSE 0 END) AS qe
+         |  FROM (SELECT vec_id, vec_id % 64 AS j, qe FROM base WHERE vec_id % 40 = 0)),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+         |qn AS (SELECT vec_id, qe,
+         |  CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS norm2 FROM corpus),
+         |sigs AS (
+         |  $sigSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM sigs a JOIN sigs b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |near AS (
+         |  SELECT a_id, b_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> x.qe[i] * y.qe[i])) AS BIGINT) AS dot,
+         |    x.norm2 AS a_n2, y.norm2 AS b_n2
+         |  FROM cand JOIN qn x ON a_id = x.vec_id JOIN qn y ON b_id = y.vec_id),
+         |kept AS (
+         |  SELECT b_id, a_id, dot,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(a_n2 AS DOUBLE))
+         |      / sqrt(CAST(b_n2 AS DOUBLE)) AS score,
+         |    row_number() OVER (PARTITION BY b_id ORDER BY a_id) AS rn
+         |  FROM near
+         |  WHERE dot > 0
+         |    AND CAST(dot AS HUGEINT) * dot * 1000000 >=
+         |        CAST(990025 AS HUGEINT) * a_n2 * b_n2)
+         |SELECT b_id AS dropped_id, a_id AS kept_id, dot, score
+         |FROM kept WHERE rn = 1 ORDER BY dropped_id""".stripMargin
+    }
   )
 }

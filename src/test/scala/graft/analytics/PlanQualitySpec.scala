@@ -94,6 +94,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(400))
   }
 
+  test("q52 embedding near-dup: LSH candidate join is an equi-join, never all-pairs") {
+    val df = graft.SparkEntry.queries("q52_embedding_neardup")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // candidates come from the (table, bucket) equi-join; the vec_id <
+    // inequality must ride as a post-join condition, not force a
+    // cartesian/nested-loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // exact-integer threshold stays in the plan (decimal compare)
+    assert(p.contains("long_array_dot"), s"native dot missing from near-dup scoring:\n$p")
+  }
+
   test("q35 LSH candidate generation contains no cartesian product") {
     val df = graft.SparkEntry.queries("q35_minhash_lsh")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
