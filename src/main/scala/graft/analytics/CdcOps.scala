@@ -226,6 +226,31 @@ object CdcOps extends QueryPack {
         .filter($"status" =!= "unchanged")
         .select($"doc_id", $"status", $"fp_new", $"n_tok")
         .orderBy("doc_id")
+    },
+    // Producer-sink readback (SURVEY S7, reference kafka_producer.py keyed
+    // routing): the keyed changelog the generator WROTE is itself a
+    // queryable artifact — this reads the raw log files back and
+    // aggregates the producer contract per partition: op mix, duplicate
+    // re-deliveries (count − distinct full rows; re-delivery is an exact
+    // copy), and LSN bounds. The oracle re-derives every number from the
+    // changelog rules alone (partition = did % 4 is plain arithmetic), so
+    // the written artifact — not just the generator's intent — is under
+    // the driver's hash gate. Per-partition LSN-monotone arrival order is
+    // covered by the cdc specs (file order is part of the WAL contract and
+    // needs file mtimes, which SQL can't see).
+    "q53_producer_log_readback" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"${replayFor(s, dir).work}/log")
+        .groupBy($"partition")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when($"op" === "I", 1L).otherwise(0L)).as("n_ins"),
+          sum(when($"op" === "U", 1L).otherwise(0L)).as("n_upd"),
+          sum(when($"op" === "D", 1L).otherwise(0L)).as("n_del"),
+          (count(lit(1)) - countDistinct(struct($"lsn", $"op", $"n_tok")))
+            .as("n_dup"),
+          min($"lsn").as("min_lsn"), max($"lsn").as("max_lsn"))
+        .orderBy("partition")
     }
   )
 
@@ -346,6 +371,31 @@ object CdcOps extends QueryPack {
          |FROM toks
          |WHERE did // (SELECT max(doc_id) // 4 + 1 FROM documents) = 3
          |  AND did % 17 <> 0
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // The full event population by rule: every doc inserts; d%5 updates;
+    // d%17 deletes; d%23 emits the malformed U at the insert's lsn; d%13
+    // re-delivers its insert verbatim (every doc falls inside the 5-chunk
+    // re-delivery window, so the rule has no edge cases). n_dup falls out
+    // of count − distinct rows because only exact re-deliveries collide.
+    "q53_producer_log_readback" ->
+      """WITH w AS (
+        |  SELECT doc_id AS did, doc_id % 4 AS p,
+        |    len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS nt
+        |  FROM documents),
+        |ev AS (
+        |  SELECT p, 3 * did AS lsn, 'I' AS op, nt AS n_tok FROM w
+        |  UNION ALL SELECT p, 3 * did + 1, 'U', nt FROM w WHERE did % 5 = 0
+        |  UNION ALL SELECT p, 3 * did + 2, 'D', NULL FROM w WHERE did % 17 = 0
+        |  UNION ALL SELECT p, 3 * did, 'U', nt + 1 FROM w WHERE did % 23 = 0
+        |  UNION ALL SELECT p, 3 * did, 'I', nt FROM w WHERE did % 13 = 0)
+        |SELECT CAST(p AS INT) AS partition,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+        |  CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+        |  CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+        |  count(*) - count(DISTINCT (lsn, op, n_tok)) AS n_dup,
+        |  min(lsn) AS min_lsn, max(lsn) AS max_lsn
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
