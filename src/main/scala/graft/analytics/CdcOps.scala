@@ -91,6 +91,10 @@ object CdcOps extends QueryPack {
     */
   private val replayed = new Tables.FingerprintMemo[Replay](r =>
     scala.util.Try(Tables.deleteRecursively(r.work)))
+  /** Bench hook: drop the memoized replay so a fresh pass re-pays the
+    * full streaming ingest instead of serving the cached table.
+    */
+  private[graft] def reset(): Unit = replayed.clear()
 
   private[analytics] def replayFor(s: SparkSession, dir: String): Replay =
     replayed.getOrElseUpdate(dir,

@@ -144,6 +144,17 @@ object Pipeline {
       exactUniqueGate: Boolean = false): Marts =
     cache.getOrElseUpdate(dir, fp(s, dir))(runOnce(s, dir, gates, exactUniqueGate))
 
+  private val timing = sys.env.get("GRAFT_PIPELINE_TIMING").contains("1")
+  private def timed[A](label: String)(a: => A): A = {
+    if (!timing) a
+    else {
+      val t0 = System.nanoTime()
+      val r = a
+      println(f"[pipeline-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
   private def runOnce(s: SparkSession, dir: String, gates: Boolean,
       exactUniqueGate: Boolean): Marts = {
     import s.implicits._
@@ -162,9 +173,9 @@ object Pipeline {
       // error tests + warn-severity uniqueness (reference trip_id dups,
       // schema.yml:8) in ONE scan: approx dup signal via HLL by default,
       // the exact groupBy only on request
-      Checks.gateOnePassApproxUnique("staging", stgLines,
+      timed("gate-staging")(Checks.gateOnePassApproxUnique("staging", stgLines,
         uniqueKey = Seq("order_key", "line_no"),
-        "not_null_order_key" -> col("order_key").isNull)
+        "not_null_order_key" -> col("order_key").isNull))
       if (exactUniqueGate)
         Checks.gateWarn("staging",
           "unique_order_line" -> Checks.unique(stgLines, Seq("order_key", "line_no")))
@@ -177,10 +188,10 @@ object Pipeline {
       .withColumn("ship_month", date_trunc("month", $"ship_ts").cast("date"))
       .withColumn("disc_price", $"price" * (lit(1.0) - $"disc"))
       .withColumn("charge", $"price" * (lit(1.0) - $"disc") * (lit(1.0) + $"tax"))
-    if (gates) Checks.gateOnePass("intermediate", validated,
+    if (gates) timed("gate-intermediate")(Checks.gateOnePass("intermediate", validated,
       "positive_qty" -> (col("qty") <= 0),
       "disc_in_range" -> (col("disc") < 0.0 || col("disc") > 1.0),
-      "accepted_return_flag" -> !col("return_flag").isin("A", "N", "R"))
+      "accepted_return_flag" -> !col("return_flag").isin("A", "N", "R")))
 
     // ── marts core (gold): the one-big-table, computed ONCE ────────────
     val n = Tables.load(s, dir, "nation")
@@ -193,8 +204,8 @@ object Pipeline {
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey", "left")
       .drop("c_custkey", "c_nationkey", "n_nationkey")
       .persist()
-    if (gates) Checks.gateOnePass("marts_core", obt,
-      "not_null_nation" -> col("nation").isNull)
+    if (gates) timed("gate-marts-core")(Checks.gateOnePass("marts_core", obt,
+      "not_null_nation" -> col("nation").isNull))
 
     // ── marts: aggregation + insight, BOTH from the cached OBT ─────────
     val aggMonthly = obt

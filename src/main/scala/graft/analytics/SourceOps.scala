@@ -24,6 +24,10 @@ object SourceOps extends QueryPack {
     */
   private val csvDirs =
     new Tables.FingerprintMemo[String](d => scala.util.Try(Tables.deleteRecursively(d)))
+  /** Bench hook: drop the memoized round-trip dir (and delete it) so a
+    * fresh pass re-pays the CSV write+read.
+    */
+  private[graft] def reset(): Unit = csvDirs.clear()
 
   def queries: Map[String, Query] = Map(
     // S4: header + quoted-field CSV through the engine's read path. The
