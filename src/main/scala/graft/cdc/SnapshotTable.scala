@@ -133,9 +133,12 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16) {
     * absent). Old data files are immutable, so this is a pure metadata
     * operation — no copy-on-read.
     */
-  def readVersion(spark: SparkSession, v: Long): DataFrame = {
+  def readVersion(spark: SparkSession, v: Long): DataFrame =
+    readVersionWithLsn(spark, v).drop(Model.LsnCol)
+
+  def readVersionWithLsn(spark: SparkSession, v: Long): DataFrame = {
     val m = manifestAt(v)
-    readResolved(spark, m, m.files).drop(Model.LsnCol)
+    readResolved(spark, m, m.files)
   }
 
   /** Retire all snapshots older than the last `keepLast` versions: their

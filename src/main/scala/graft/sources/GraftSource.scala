@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+import graft.cdc.{Model, SnapshotTable}
+
+/** `spark.read.format("graft")` — the snapshot table as a first-class
+  * Spark data source, so downstream consumers address the engine's tables
+  * through the standard reader API instead of library calls:
+  *
+  * {{{
+  *   spark.read.format("graft").load("/path/to/table")          // current
+  *   spark.read.format("graft").option("version", 3).load(p)    // time travel
+  *   spark.read.format("graft").load(p).filter($"_lsn" >= x)    // changed-since
+  * }}}
+  *
+  * Built on the V1 `PrunedFilteredScan` contract (stable public API; the
+  * engine needs no custom per-file reader — the scan delegates to the
+  * engine's manifest-resolved parquet read, so MOR delta reconcile,
+  * schema-evolution conformance and bucket pruning all apply):
+  *
+  *   - **Column pruning**: `requiredColumns` propagates into the parquet
+  *     scan's ReadSchema via the delegated plan.
+  *   - **Filter pushdown**: `_lsn >= X` / `> X` reaches the MANIFEST —
+  *     data files whose footer `maxLsn` is below the floor are skipped
+  *     before a byte is read (`SnapshotTable.readBuckets` pruning), the
+  *     incremental "changed since LSN" consumer contract. These filters
+  *     are fully applied by the relation (declared handled); everything
+  *     else is evaluated by Spark on top.
+  *
+  * Read-only by design: writes go through the fenced
+  * `MergeEngine`/`IngestJob` MERGE path — an unfenced
+  * `df.write.format("graft")` would bypass exactly-once.
+  */
+class GraftSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      sys.error("graft source requires a path: spark.read.format(\"graft\").load(dir)"))
+    val numBuckets = parameters.get("numBuckets").map(_.toInt).getOrElse(16)
+    GraftRelation(sqlContext, new SnapshotTable(path, numBuckets),
+      version = parameters.get("version").map(_.toLong))
+  }
+}
+
+case class GraftRelation(
+    sqlContext: SQLContext,
+    table: SnapshotTable,
+    version: Option[Long]) extends BaseRelation with PrunedFilteredScan {
+
+  private def spark: SparkSession = sqlContext.sparkSession
+
+  private val manifest = version match {
+    case Some(v) => table.manifestAt(v)
+    case None => table.manifest.getOrElse(sys.error(s"no such table: ${table.root}"))
+  }
+
+  override val schema: StructType =
+    DataType.fromJson(manifest.currentSchemaJson).asInstanceOf[StructType]
+      .add(Model.LsnCol, LongType, nullable = false)
+
+  /** `_lsn` floor implied by the pushed filters (max over all of them —
+    * conjunctive semantics).
+    */
+  private def lsnFloor(filters: Array[Filter]): Option[Long] = {
+    val floors: Array[Long] = filters.flatMap {
+      case GreaterThanOrEqual(Model.LsnCol, v: Long) => Some(v)
+      case GreaterThan(Model.LsnCol, v: Long) => Some(v + 1L)
+      case EqualTo(Model.LsnCol, v: Long) => Some(v)
+      case _ => None
+    }
+    if (floors.isEmpty) None else Some(floors.max)
+  }
+
+  /** The floor filters are applied EXACTLY by the pruned read (manifest
+    * file skip + row predicate), so Spark need not re-evaluate them;
+    * everything else stays Spark's job.
+    */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filterNot {
+      case GreaterThanOrEqual(Model.LsnCol, _: Long) => true
+      case GreaterThan(Model.LsnCol, _: Long) => true
+      case _ => false
+    }
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val df = version match {
+      case Some(v) =>
+        // time travel reads THAT version's manifest; no incremental floor
+        // (historic manifests keep their own file stats, but the readers'
+        // contract is the full snapshot)
+        table.readVersionWithLsn(spark, v)
+      case None =>
+        lsnFloor(filters) match {
+          case Some(floor) =>
+            table.readBuckets(spark, (0 until manifest.numBuckets).toSet, floor)
+          case None => table.readWithLsn(spark)
+        }
+    }
+    df.select(requiredColumns.map(col).toSeq: _*).rdd
+  }
+}

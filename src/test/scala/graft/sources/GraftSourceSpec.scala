@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.cdc.{ChangelogGen, IngestJob, MergeEngine, Model, SnapshotTable}
+
+/** `format("graft")` data source: reads must equal the library read path
+  * (current, changed-since floor, time travel), column pruning must reach
+  * the underlying parquet scan, and the `_lsn` floor must be PUSHED — both
+  * visible in the scan node and absent from Spark's residual filters.
+  */
+class GraftSourceSpec extends SparkSpec {
+
+  private lazy val table: SnapshotTable = {
+    val cfg = ChangelogGen.Config(numEvents = 6000, numDocs = 1200, numFiles = 4)
+    val logDir = tmpDir("gsrc-log")
+    ChangelogGen.writeLog(spark, cfg, logDir.toString)
+    val t = IngestJob.replay(spark, IngestJob.Config(
+      logDir = logDir.toString,
+      tableDir = tmpDir("gsrc-table").toString,
+      checkpointDir = tmpDir("gsrc-ckpt").toString,
+      numBuckets = 16))
+    MergeEngine.compact(spark, t)
+    t
+  }
+
+  private def viaSource = spark.read.format("graft").load(table.root)
+
+  test("format(\"graft\") current read equals the library read") {
+    val a = viaSource.drop(Model.LsnCol).orderBy("doc_id").collect()
+    val b = table.read(spark).orderBy("doc_id").collect()
+    assert(a.length == b.length && a.sameElements(b),
+      s"source read diverges: ${a.length} vs ${b.length} rows")
+  }
+
+  test("_lsn floor filter equals readBuckets and is pushed, not residual") {
+    import spark.implicits._
+    val floor = 3000L
+    val viaFilter = viaSource.filter($"${Model.LsnCol}" >= floor)
+    val expected = table.readBuckets(spark, (0 until 16).toSet, floor)
+      .orderBy("doc_id").collect()
+    val got = viaFilter.orderBy("doc_id").collect()
+    assert(got.sameElements(expected), s"${got.length} vs ${expected.length} rows")
+
+    val plan = viaFilter.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(_lsn"),
+      s"floor not pushed to the relation:\n$plan")
+    // the floor is declared handled: Spark must not re-apply it
+    val residual = "Filter .*_lsn".r.findFirstIn(plan)
+    assert(residual.isEmpty, s"floor re-applied by Spark despite handled declaration:\n$plan")
+  }
+
+  test("column pruning reaches the parquet ReadSchema through the source") {
+    val df = viaSource.select("doc_id", "n_tok")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val reads = "ReadSchema: [^\n]+".r.findAllIn(plan).mkString("\n")
+    assert(!reads.contains("tokens"), s"unpruned scan through the source:\n$reads")
+  }
+
+  test("option(\"version\") time travel equals readVersion") {
+    val v = table.currentVersion.get - 1
+    val a = spark.read.format("graft").option("version", v).load(table.root)
+      .drop(Model.LsnCol).orderBy("doc_id").collect()
+    val b = table.readVersion(spark, v).orderBy("doc_id").collect()
+    assert(a.sameElements(b), s"${a.length} vs ${b.length} rows at v$v")
+  }
+
+  test("floor skips clean files at the manifest level (file pruning, not just row filter)") {
+    // a floor above every base file's maxLsn leaves nothing to read
+    val maxLsn = table.manifest.get.files.map(_.maxLsn).max
+    val none = viaSource.filter(col(Model.LsnCol) > maxLsn)
+    assert(none.count() == 0)
+    // sanity: the relation resolves rows>0 below the max
+    assert(viaSource.filter(col(Model.LsnCol) >= maxLsn).count() > 0)
+  }
+}
