@@ -231,6 +231,24 @@ object CdcOps extends QueryPack {
         .select($"doc_id", $"status", $"fp_new", $"n_tok")
         .orderBy("doc_id")
     },
+    // The same changed-since contract as q49, but through the PUBLIC
+    // data-source API (format("graft") + a DataFrame filter) instead of
+    // the library call: the _lsn floor is pushed through the relation to
+    // manifest file-skipping (GraftSourceSpec asserts the plan), and the
+    // result must be identical — so the external hash gate now verifies
+    // the data-source read path end-to-end.
+    "q54_source_read" -> { (s, dir) =>
+      import s.implicits._
+      val r = replayFor(s, dir)
+      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val minLsn = 3L * (maxDid / 2)
+      s.read.format("graft").load(r.table.root)
+        .filter(col(Model.LsnCol) >= minLsn)
+        .select($"doc_id",
+          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
+          $"n_tok", col(Model.LsnCol).as("lsn"))
+        .orderBy("doc_id")
+    },
     // Producer-sink readback (SURVEY S7, reference kafka_producer.py keyed
     // routing): the keyed changelog the generator WROTE is itself a
     // queryable artifact — this reads the raw log files back and
@@ -257,6 +275,27 @@ object CdcOps extends QueryPack {
         .orderBy("partition")
     }
   )
+
+  private lazy val incrementalReadSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
+       |    list_transform(
+       |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+       |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
+       |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks
+       |  FROM documents),
+       |final AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(
+       |      CASE WHEN did % 5 = 0
+       |           THEN list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT))
+       |           ELSE base_toks END, ',')) AS tokens_fp,
+       |    CAST(len(base_toks) AS INT) AS n_tok,
+       |    CAST(CASE WHEN did % 5 = 0 THEN 3 * did + 1 ELSE 3 * did END AS BIGINT) AS lsn
+       |  FROM toks WHERE did % 17 <> 0)
+       |SELECT doc_id, tokens_fp, n_tok, lsn FROM final
+       |WHERE lsn >= 3 * ((SELECT max(doc_id) FROM documents) // 2)
+       |ORDER BY doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q50_cdc_replay" ->
@@ -322,26 +361,10 @@ object CdcOps extends QueryPack {
 
     // Survivors whose final LSN clears the changed-since threshold
     // (3·⌊maxDid/2⌋): insert lsn 3d, bumped to 3d+1 by a d%5 update.
-    "q49_incremental_read" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
-         |    list_transform(
-         |      list_filter(string_split(text, ' '), w -> length(w) > 0),
-         |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
-         |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks
-         |  FROM documents),
-         |final AS (
-         |  SELECT doc_id,
-         |    md5(array_to_string(
-         |      CASE WHEN did % 5 = 0
-         |           THEN list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT))
-         |           ELSE base_toks END, ',')) AS tokens_fp,
-         |    CAST(len(base_toks) AS INT) AS n_tok,
-         |    CAST(CASE WHEN did % 5 = 0 THEN 3 * did + 1 ELSE 3 * did END AS BIGINT) AS lsn
-         |  FROM toks WHERE did % 17 <> 0)
-         |SELECT doc_id, tokens_fp, n_tok, lsn FROM final
-         |WHERE lsn >= 3 * ((SELECT max(doc_id) FROM documents) // 2)
-         |ORDER BY doc_id""".stripMargin,
+    // q54 is the SAME contract through the public format("graft") read
+    // path — identical oracle by construction.
+    "q49_incremental_read" -> incrementalReadSql,
+    "q54_source_read" -> incrementalReadSql,
 
     // One malformed event per d%23==0 doc, quarantined in its chunk's
     // epoch; each overshoots size(tokens) by exactly 1.
