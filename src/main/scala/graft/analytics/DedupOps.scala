@@ -282,6 +282,50 @@ object DedupOps extends QueryPack {
         .filter($"rn" === 1)
         .select($"b_id".as("dropped_id"), $"a_id".as("kept_id"), $"dot", $"score")
         .orderBy("dropped_id")
+    },
+
+    // SimHash near-dup DEDUP (q36 only computes the fingerprints): a
+    // 60-bit simhash (two salted 32-bit word hashes; bit 63 avoided so
+    // sign semantics can't diverge across engines), banded 4×15 bits —
+    // candidates share ANY band, which by pigeonhole catches EVERY pair
+    // within hamming ≤ 3 (3 flips cannot touch all 4 bands) — then exact
+    // hamming verification via bit_count(xor). 16 bits (q36's parity
+    // width) is too coarse to dedup with: random pairs collide at
+    // hamming 0 constantly; at 60 bits P(random ≤ 3) ≈ 3·10⁻¹⁴.
+    // Same scale shape as every dedup tier: explode → hash → groupBy
+    // (map-side combined) → band equi-join, O(collisions) verify.
+    "q55_simhash_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val wordRows = corpus(s, dir, withExact = false, withNear = true)
+        .select($"doc_id", explode(wordsCol($"text")).as("w"))
+        .select($"doc_id",
+          XHash.hash32($"w", "sh64a").as("h1"), XHash.hash32($"w", "sh64b").as("h2"))
+      val bitSums = (0 until 60).map { i =>
+        val src = if (i < 30) $"h1" else $"h2"
+        sum(when(shiftright(src, i % 30) % 2 === 1, 1).otherwise(-1)).as(s"b$i")
+      }
+      val sim = (0 until 60).map(i =>
+        when(col(s"b$i") >= 0, 1L << i).otherwise(0L)).reduce(_ + _)
+      val sims = wordRows.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select($"doc_id", sim.as("sim"))
+      val bands = sims.select($"doc_id", $"sim",
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("k"),
+            shiftright($"sim", 15 * k).bitwiseAND(lit(0x7FFFL)).as("bv"))): _*)).as("b"))
+        .select($"doc_id", $"sim", $"b.k".as("k"), $"b.bv".as("bv"))
+      val cand = bands.select($"doc_id".as("d1"), $"sim".as("s1"), $"k", $"bv")
+        .join(bands.select($"doc_id".as("d2"), $"sim".as("s2"), $"k", $"bv"),
+          Seq("k", "bv"))
+        .filter($"d1" < $"d2")
+        .select($"d1", $"d2", $"s1", $"s2").distinct()
+      cand
+        .withColumn("hamming", bit_count($"s1".bitwiseXOR($"s2")).cast("int"))
+        .filter($"hamming" <= 3)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"d2").orderBy($"d1")))
+        .filter($"rn" === 1)
+        .select($"d2".as("dropped_id"), $"d1".as("kept_id"), $"hamming")
+        .orderBy("dropped_id")
     }
   )
 
@@ -370,6 +414,40 @@ object DedupOps extends QueryPack {
          |        CAST(990025 AS HUGEINT) * a_n2 * b_n2)
          |SELECT b_id AS dropped_id, a_id AS kept_id, dot, score
          |FROM kept WHERE rn = 1 ORDER BY dropped_id""".stripMargin
+    },
+
+    "q55_simhash_neardup" -> {
+      val bitSums = (0 until 60).map { i =>
+        val src = if (i < 30) "h1" else "h2"
+        s"sum(CASE WHEN ($src >> ${i % 30}) % 2 = 1 THEN 1 ELSE -1 END) AS b$i"
+      }.mkString(",\n    ")
+      val sim = (0 until 60).map(i =>
+        s"(CASE WHEN b$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      val bandRows = (0 until 4).map(k =>
+        s"SELECT doc_id, sim, $k AS k, (sim >> ${15 * k}) & 32767 AS bv FROM sims")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH corpus AS (${duckCorpus(withExact = false, withNear = true)}),
+         |word_rows AS (
+         |  SELECT doc_id, ${XHash.duckHash32("w", "sh64a")} AS h1,
+         |    ${XHash.duckHash32("w", "sh64b")} AS h2
+         |  FROM (SELECT doc_id, unnest($duckWords) AS w FROM corpus)),
+         |bits AS (
+         |  SELECT doc_id,
+         |    $bitSums
+         |  FROM word_rows GROUP BY 1),
+         |sims AS (SELECT doc_id, CAST($sim AS BIGINT) AS sim FROM bits),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sim AS s1, b.sim AS s2
+         |  FROM bands a JOIN bands b
+         |    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |near AS (
+         |  SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+         |  FROM cand WHERE bit_count(xor(s1, s2)) <= 3)
+         |SELECT d2 AS dropped_id, d1 AS kept_id, hamming FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY d2 ORDER BY d1) AS rn FROM near)
+         |WHERE rn = 1 ORDER BY dropped_id""".stripMargin
     }
   )
 }
