@@ -32,7 +32,7 @@ object Bench {
     // cache, CDC replay, CSV round-trip dir) so each pass re-pays the
     // full cost — the min is a clean steady-state sample, not a
     // cache read. Disclosed in the output as runs_per_query/agg.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     def onePass(): Map[String, Double] = {
       graft.analytics.Pipeline.reset()
       graft.analytics.DedupOps.clearCache()
@@ -52,20 +52,29 @@ object Bench {
     spark.stop()
 
     // scaling series (tmpfs-backed so the VM's 5x-variance virtual disk
-    // isn't what gets measured; dir is removed by runSeries)
+    // isn't what gets measured; dir is removed by runSeries). A series
+    // failure must not discard the query timings already measured — the
+    // JSON line always prints, carrying the error instead.
     val scaling =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) ""
       else {
-        val events = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "8000000").toLong
-        val cores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "2,8,32")
-          .split(",").toSeq.map(_.trim.toInt)
-        val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "3").toInt
-        val workBase = sys.env.get("GRAFT_WORK_DIR")
-          .orElse(Some("/dev/shm/graft-bench"))
-          .map(java.nio.file.Paths.get(_))
-        val s = graft.cdc.ScaleBench.runSeries(
-          events, numFiles = 16, perTrigger = 100, cores, repeats, workBase)
-        s""","scaling":${s.toJson}"""
+        val attempt = scala.util.Try {
+          val events = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "8000000").toLong
+          val cores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "2,8,32")
+            .split(",").toSeq.map(_.trim.toInt)
+          val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "3").toInt
+          val workBase = sys.env.get("GRAFT_WORK_DIR")
+            .orElse(Some("/dev/shm/graft-bench"))
+            .map(java.nio.file.Paths.get(_))
+          graft.cdc.ScaleBench.runSeries(
+            events, numFiles = 16, perTrigger = 100, cores, repeats, workBase)
+        }
+        attempt match {
+          case scala.util.Success(s) => s""","scaling":${s.toJson}"""
+          case scala.util.Failure(e) =>
+            val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+            s""","scaling":{"error":"$msg"}"""
+        }
       }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$passes,"agg":"min","queries":$qs,"sf":"$sfDir"$scaling}""")

@@ -24,16 +24,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * results stay bit-identical across engines and the DuckDB oracles are
   * unchanged).
   *
-  * Contract: element values must be non-null (quantization produces
-  * non-null elements); lengths may differ, the shorter prefix is summed.
-  * (`zip_with` instead null-PADS the shorter side, which null-poisons the
-  * aggregate — the two agree exactly on equal lengths, which the
-  * fixed-dim embedding schema guarantees.)
+  * Contract — exactly the `aggregate(zip_with(a, b, _*_), 0L, _+_)`
+  * semantics, so the swap can never change a result: NULL input array →
+  * NULL; mismatched lengths → NULL (zip_with null-pads the shorter side,
+  * which null-poisons the aggregate); any NULL element → NULL. The
+  * engine's quantized embeddings are fixed-dim with non-null elements, so
+  * the hot path never takes the NULL branches — but the function is also
+  * registered for arbitrary SQL text, where they must hold.
   */
 case class LongArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "long_array_dot"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -49,10 +52,15 @@ case class LongArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -62,10 +70,15 @@ case class LongArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

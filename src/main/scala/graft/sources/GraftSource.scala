@@ -45,8 +45,10 @@ class GraftSource extends RelationProvider with DataSourceRegister {
       parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
       sys.error("graft source requires a path: spark.read.format(\"graft\").load(dir)"))
-    val numBuckets = parameters.get("numBuckets").map(_.toInt).getOrElse(16)
-    GraftRelation(sqlContext, new SnapshotTable(path, numBuckets),
+    // bucket count always comes from the manifest on the read path; the
+    // constructor default only matters for init(), which a read-only
+    // relation never calls
+    GraftRelation(sqlContext, new SnapshotTable(path),
       version = parameters.get("version").map(_.toLong))
   }
 }
@@ -94,10 +96,11 @@ case class GraftRelation(
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val df = version match {
       case Some(v) =>
-        // time travel reads THAT version's manifest; no incremental floor
-        // (historic manifests keep their own file stats, but the readers'
-        // contract is the full snapshot)
-        table.readVersionWithLsn(spark, v)
+        // time travel reads THAT version's manifest (no manifest-level
+        // file skip for historic reads), but a pushed floor is declared
+        // handled, so it MUST still be applied here as a row predicate
+        val base = table.readVersionWithLsn(spark, v)
+        lsnFloor(filters).map(f => base.filter(col(Model.LsnCol) >= f)).getOrElse(base)
       case None =>
         lsnFloor(filters) match {
           case Some(floor) =>

@@ -14,11 +14,16 @@ class ArrayDotSpec extends SparkSpec {
   test("dotLong == aggregate(zip_with(...)) on random long arrays (codegen on and off)") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242L)
-    // equal lengths per pair — zip_with null-PADS the shorter side (which
-    // null-poisons the aggregate), LongArrayDot truncates; they agree only
-    // on equal lengths, which the fixed-dim embedding schema guarantees
-    def arr(n: Int) = List.fill(n)(rnd.nextLong() % 2000)
-    val pairs = List.fill(300) { val n = rnd.nextInt(81); (arr(n), arr(n)) }
+    // full-semantics parity: unequal lengths (zip_with null-pads → the
+    // aggregate goes NULL, and so must LongArrayDot) and occasional null
+    // ELEMENTS are both included in the draws
+    def arr(n: Int): List[Option[Long]] = List.fill(n)(
+      if (rnd.nextInt(40) == 0) None else Some(rnd.nextLong() % 2000))
+    val pairs = List.fill(300) {
+      val n = rnd.nextInt(81)
+      val m = if (rnd.nextInt(5) == 0) rnd.nextInt(81) else n
+      (arr(n), arr(m))
+    }
     val df = pairs.toDF("a", "b")
     val hof = aggregate(zip_with($"a", $"b", (x, y) => x * y),
       lit(0L), (acc, x) => acc + x)
@@ -27,21 +32,26 @@ class ArrayDotSpec extends SparkSpec {
       try {
         val rows = df.select(ArrayDot.dotLong($"a", $"b").as("fast"), hof.as("ref"))
           .collect()
-        rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"mode=$mode $r"))
+        rows.foreach { r =>
+          assert(r.isNullAt(0) == r.isNullAt(1), s"mode=$mode null divergence: $r")
+          if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), s"mode=$mode $r")
+        }
       } finally spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
 
-  test("null input arrays propagate null; empty arrays give 0") {
+  test("null arrays, null elements, and length mismatch all propagate null; empty gives 0") {
     import spark.implicits._
     val df = Seq(
-      (Some(Seq(1L, 2L)), None: Option[Seq[Long]]),
-      (None: Option[Seq[Long]], Some(Seq(3L))),
-      (Some(Seq.empty[Long]), Some(Seq.empty[Long]))
+      (Some(Seq(Some(1L), Some(2L))), None: Option[Seq[Option[Long]]]),
+      (None: Option[Seq[Option[Long]]], Some(Seq(Some(3L)))),
+      (Some(Seq.empty[Option[Long]]), Some(Seq.empty[Option[Long]])),
+      (Some(Seq(Some(1L), None)), Some(Seq(Some(2L), Some(2L)))),
+      (Some(Seq(Some(1L), Some(2L))), Some(Seq(Some(3L))))
     ).toDF("a", "b")
     val out = df.select(ArrayDot.dotLong($"a", $"b")).collect().map(r =>
       if (r.isNullAt(0)) None else Some(r.getLong(0)))
-    assert(out.toSeq == Seq(None, None, Some(0L)))
+    assert(out.toSeq == Seq(None, None, Some(0L), None, None))
   }
 
   test("SQL registration via GraftExtensions: long_array_dot callable from SQL text") {

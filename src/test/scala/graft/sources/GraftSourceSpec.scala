@@ -66,6 +66,21 @@ class GraftSourceSpec extends SparkSpec {
     assert(a.sameElements(b), s"${a.length} vs ${b.length} rows at v$v")
   }
 
+  test("version + _lsn floor: the handled filter is still applied on the time-travel path") {
+    import spark.implicits._
+    val v = table.currentVersion.get - 1
+    val floor = 3000L
+    val got = spark.read.format("graft").option("version", v).load(table.root)
+      .filter($"${Model.LsnCol}" >= floor).orderBy("doc_id").collect()
+    val expected = table.readVersionWithLsn(spark, v)
+      .filter(col(Model.LsnCol) >= floor).orderBy("doc_id").collect()
+    assert(got.nonEmpty && got.sameElements(expected),
+      s"${got.length} vs ${expected.length} rows at v$v floor=$floor")
+    // and rows below the floor really are gone (the filter was declared
+    // handled, so only the relation can have applied it)
+    assert(got.forall(_.getAs[Long](Model.LsnCol) >= floor))
+  }
+
   test("floor skips clean files at the manifest level (file pruning, not just row filter)") {
     // a floor above every base file's maxLsn leaves nothing to read
     val maxLsn = table.manifest.get.files.map(_.maxLsn).max
