@@ -106,6 +106,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("long_array_dot"), s"native dot missing from near-dup scoring:\n$p")
   }
 
+  test("q55 simhash near-dup: band join is an equi-join, never all-pairs") {
+    val df = graft.SparkEntry.queries("q55_simhash_neardup")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q35 LSH candidate generation contains no cartesian product") {
     val df = graft.SparkEntry.queries("q35_minhash_lsh")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
