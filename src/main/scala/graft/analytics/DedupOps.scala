@@ -148,13 +148,125 @@ object DedupOps extends QueryPack {
     */
   private val pairCache =
     new Tables.FingerprintMemo[DataFrame](df => { df.unpersist(); () })
+  private val embPairCache =
+    new Tables.FingerprintMemo[DataFrame](df => { df.unpersist(); () })
+  private val simhashPairCache =
+    new Tables.FingerprintMemo[DataFrame](df => { df.unpersist(); () })
 
   /** Test/bench hook. */
-  private[graft] def clearCache(): Unit = pairCache.clear()
+  private[graft] def clearCache(): Unit = {
+    pairCache.clear(); embPairCache.clear(); simhashPairCache.clear()
+  }
+
+  /** Memo keys include the owning session: a persisted DataFrame from a
+    * stopped SparkSession is unreadable, so a restarted session must
+    * rebuild rather than serve a dead cache entry.
+    */
+  private def memoKey(s: SparkSession, dir: String, table: String): String =
+    s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, table)}"
+
+  /** q52's verified near-dup pairs, persisted + memoized like
+    * [[candidatePairs]]: the candidate self-join would otherwise
+    * re-evaluate the quantize→sign→bucket pipeline on BOTH sides every
+    * run (2× the corpus scan at 100 TB). The signature frame is persisted
+    * only while building, the verified pair set is what stays cached.
+    */
+  /** q52's verified near-dup pair PLAN, un-cached (exposed so plan tests
+    * can inspect the real pipeline — once memoized, the executed plan
+    * only shows an InMemoryTableScan).
+    */
+  private[analytics] def embNearPairsPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.ArrayDot.dotLong
+    val base = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", AnnOps.qe($"embedding").as("qe"))
+    val dups = base.filter($"vec_id" % 40 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"qe", (x, i) =>
+          x + when(i === ($"vec_id" % 64).cast("int"), 1L).otherwise(0L)).as("qe"))
+    val corpus = base.unionByName(dups)
+      .withColumn("norm2", dotLong($"qe", $"qe"))
+    val sigs = corpus.select($"vec_id",
+        explode(array((0 until AnnOps.NTables).map(t =>
+          struct(lit(t).as("t"), AnnOps.bucketCol($"qe", t).as("bucket"))): _*)).as("tb"))
+      .select($"vec_id", $"tb.t".as("t"), $"tb.bucket".as("bucket"))
+    val cand = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val feat = corpus.select($"vec_id", $"qe", $"norm2")
+    cand
+      .join(feat.select($"vec_id".as("a_id"), $"qe".as("a_qe"), $"norm2".as("a_n2")),
+        Seq("a_id"))
+      .join(feat.select($"vec_id".as("b_id"), $"qe".as("b_qe"), $"norm2".as("b_n2")),
+        Seq("b_id"))
+      .withColumn("dot", dotLong($"a_qe", $"b_qe"))
+      .filter($"dot" > 0 &&
+        $"dot".cast("decimal(38,0)") * $"dot" * lit(1000000L) >=
+          lit(990025L).cast("decimal(38,0)") * $"a_n2" * $"b_n2")
+      .withColumn("score", $"dot".cast("double") /
+        sqrt($"a_n2".cast("double")) / sqrt($"b_n2".cast("double")))
+      .select($"a_id", $"b_id", $"dot", $"score")
+  }
+
+  /** Persisted + memoized wrapper over [[embNearPairsPlan]], like
+    * [[candidatePairs]]: without it every run re-evaluates the
+    * quantize→sign→bucket pipeline on BOTH self-join sides — 2× the
+    * corpus scan at 100 TB. (The one materialization still walks the
+    * corpus subtree per consumer; at scale the corpus itself would be a
+    * materialized table, which is the CDC engine's job.)
+    */
+  private def embNearPairs(s: SparkSession, dir: String): DataFrame =
+    embPairCache.getOrElseUpdate(dir, memoKey(s, dir, "embeddings")) {
+      val near = embNearPairsPlan(s, dir).persist()
+      near.count()
+      near
+    }
+
+  /** q55's verified simhash near-dup pair PLAN, un-cached. */
+  private[analytics] def simhashNearPairsPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wordRows = corpus(s, dir, withExact = false, withNear = true)
+      .select($"doc_id", explode(wordsCol($"text")).as("w"))
+      .select($"doc_id",
+        XHash.hash32($"w", "sh64a").as("h1"), XHash.hash32($"w", "sh64b").as("h2"))
+    val bitSums = (0 until 60).map { i =>
+      val src = if (i < 30) $"h1" else $"h2"
+      sum(when(shiftright(src, i % 30) % 2 === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sim = (0 until 60).map(i =>
+      when(col(s"b$i") >= 0, 1L << i).otherwise(0L)).reduce(_ + _)
+    val sims = wordRows.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", sim.as("sim"))
+    val bands = sims.select($"doc_id", $"sim",
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("k"),
+          shiftright($"sim", 15 * k).bitwiseAND(lit(0x7FFFL)).as("bv"))): _*)).as("b"))
+      .select($"doc_id", $"sim", $"b.k".as("k"), $"b.bv".as("bv"))
+    val cand = bands.select($"doc_id".as("d1"), $"sim".as("s1"), $"k", $"bv")
+      .join(bands.select($"doc_id".as("d2"), $"sim".as("s2"), $"k", $"bv"),
+        Seq("k", "bv"))
+      .filter($"d1" < $"d2")
+      .select($"d1", $"d2", $"s1", $"s2").distinct()
+    cand
+      .withColumn("hamming", bit_count($"s1".bitwiseXOR($"s2")).cast("int"))
+      .filter($"hamming" <= 3)
+      .select($"d1", $"d2", $"hamming")
+  }
+
+  /** Persisted + memoized wrapper over [[simhashNearPairsPlan]]. */
+  private def simhashNearPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairCache.getOrElseUpdate(dir, memoKey(s, dir, "documents")) {
+      val near = simhashNearPairsPlan(s, dir).persist()
+      near.count()
+      near
+    }
 
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    pairCache.getOrElseUpdate(dir, Tables.fingerprint(dir, "documents")) {
+    pairCache.getOrElseUpdate(dir, memoKey(s, dir, "documents")) {
       // persist the signatures while building: the pipeline feeds 2 join
       // sides — without it Catalyst re-evaluates the hash pipeline twice
       val b = bandSignatures(s, dir).persist()
@@ -245,38 +357,7 @@ object DedupOps extends QueryPack {
     // reports its smallest surviving near-dup partner.
     "q52_embedding_neardup" -> { (s, dir) =>
       import s.implicits._
-      import graft.functions.ArrayDot.dotLong
-      val base = Tables.load(s, dir, "embeddings")
-        .select($"vec_id", AnnOps.qe($"embedding").as("qe"))
-      val dups = base.filter($"vec_id" % 40 === 0)
-        .select(($"vec_id" + 1000000L).as("vec_id"),
-          transform($"qe", (x, i) =>
-            x + when(i === ($"vec_id" % 64).cast("int"), 1L).otherwise(0L)).as("qe"))
-      val corpus = base.unionByName(dups)
-        .withColumn("norm2", dotLong($"qe", $"qe"))
-      val sigs = corpus.select($"vec_id",
-          explode(array((0 until AnnOps.NTables).map(t =>
-            struct(lit(t).as("t"), AnnOps.bucketCol($"qe", t).as("bucket"))): _*)).as("tb"))
-        .select($"vec_id", $"tb.t".as("t"), $"tb.bucket".as("bucket"))
-      val cand = sigs.as("a")
-        .join(sigs.as("b"),
-          col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        .distinct()
-      val feat = corpus.select($"vec_id", $"qe", $"norm2")
-      val near = cand
-        .join(feat.select($"vec_id".as("a_id"), $"qe".as("a_qe"), $"norm2".as("a_n2")),
-          Seq("a_id"))
-        .join(feat.select($"vec_id".as("b_id"), $"qe".as("b_qe"), $"norm2".as("b_n2")),
-          Seq("b_id"))
-        .withColumn("dot", dotLong($"a_qe", $"b_qe"))
-        .filter($"dot" > 0 &&
-          $"dot".cast("decimal(38,0)") * $"dot" * lit(1000000L) >=
-            lit(990025L).cast("decimal(38,0)") * $"a_n2" * $"b_n2")
-        .withColumn("score", $"dot".cast("double") /
-          sqrt($"a_n2".cast("double")) / sqrt($"b_n2".cast("double")))
-      near
+      embNearPairs(s, dir)
         .withColumn("rn", row_number().over(
           Window.partitionBy($"b_id").orderBy($"a_id")))
         .filter($"rn" === 1)
@@ -296,31 +377,7 @@ object DedupOps extends QueryPack {
     // (map-side combined) → band equi-join, O(collisions) verify.
     "q55_simhash_neardup" -> { (s, dir) =>
       import s.implicits._
-      val wordRows = corpus(s, dir, withExact = false, withNear = true)
-        .select($"doc_id", explode(wordsCol($"text")).as("w"))
-        .select($"doc_id",
-          XHash.hash32($"w", "sh64a").as("h1"), XHash.hash32($"w", "sh64b").as("h2"))
-      val bitSums = (0 until 60).map { i =>
-        val src = if (i < 30) $"h1" else $"h2"
-        sum(when(shiftright(src, i % 30) % 2 === 1, 1).otherwise(-1)).as(s"b$i")
-      }
-      val sim = (0 until 60).map(i =>
-        when(col(s"b$i") >= 0, 1L << i).otherwise(0L)).reduce(_ + _)
-      val sims = wordRows.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select($"doc_id", sim.as("sim"))
-      val bands = sims.select($"doc_id", $"sim",
-        explode(array((0 until 4).map(k =>
-          struct(lit(k).as("k"),
-            shiftright($"sim", 15 * k).bitwiseAND(lit(0x7FFFL)).as("bv"))): _*)).as("b"))
-        .select($"doc_id", $"sim", $"b.k".as("k"), $"b.bv".as("bv"))
-      val cand = bands.select($"doc_id".as("d1"), $"sim".as("s1"), $"k", $"bv")
-        .join(bands.select($"doc_id".as("d2"), $"sim".as("s2"), $"k", $"bv"),
-          Seq("k", "bv"))
-        .filter($"d1" < $"d2")
-        .select($"d1", $"d2", $"s1", $"s2").distinct()
-      cand
-        .withColumn("hamming", bit_count($"s1".bitwiseXOR($"s2")).cast("int"))
-        .filter($"hamming" <= 3)
+      simhashNearPairs(s, dir)
         .withColumn("rn", row_number().over(
           Window.partitionBy($"d2").orderBy($"d1")))
         .filter($"rn" === 1)

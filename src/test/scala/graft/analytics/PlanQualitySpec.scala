@@ -95,22 +95,32 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q52 embedding near-dup: LSH candidate join is an equi-join, never all-pairs") {
-    val df = graft.SparkEntry.queries("q52_embedding_neardup")(spark, dir)
+    // inspect the UN-cached pair plan — the memoized query only shows an
+    // InMemoryTableScan over it
+    val df = graft.analytics.DedupOps.embNearPairsPlan(spark, dir)
     df.count()
     val p = df.queryExecution.executedPlan.toString
     // candidates come from the (table, bucket) equi-join; the vec_id <
     // inequality must ride as a post-join condition, not force a
     // cartesian/nested-loop
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // exact-integer threshold stays in the plan (decimal compare)
+    // the native codegen dot does the scoring
     assert(p.contains("long_array_dot"), s"native dot missing from near-dup scoring:\n$p")
+    // and the memoized query path serves from a distributed source, never
+    // a driver round-trip
+    val q = graft.SparkEntry.queries("q52_embedding_neardup")(spark, dir)
+    val qp = q.queryExecution.executedPlan.toString
+    assert(!qp.contains("LocalTableScan"), s"pair set was collected to the driver:\n$qp")
   }
 
   test("q55 simhash near-dup: band join is an equi-join, never all-pairs") {
-    val df = graft.SparkEntry.queries("q55_simhash_neardup")(spark, dir)
+    val df = graft.analytics.DedupOps.simhashNearPairsPlan(spark, dir)
     df.count()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val qp = graft.SparkEntry.queries("q55_simhash_neardup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!qp.contains("LocalTableScan"), s"pair set was collected to the driver:\n$qp")
   }
 
   test("q35 LSH candidate generation contains no cartesian product") {
