@@ -81,6 +81,17 @@ class GraftSourceSpec extends SparkSpec {
     assert(got.forall(_.getAs[Long](Model.LsnCol) >= floor))
   }
 
+  test("SQL-text access: CREATE TEMPORARY VIEW ... USING graft") {
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW graft_t USING graft OPTIONS (path '${table.root}')")
+    val n = spark.sql("SELECT count(*) AS n FROM graft_t").head().getLong(0)
+    assert(n == table.read(spark).count())
+    val floored = spark.sql(
+      s"SELECT count(*) AS n FROM graft_t WHERE ${Model.LsnCol} >= 3000").head().getLong(0)
+    assert(floored > 0 && floored < n)
+    spark.sql("DROP VIEW graft_t")
+  }
+
   test("floor skips clean files at the manifest level (file pruning, not just row filter)") {
     // a floor above every base file's maxLsn leaves nothing to read
     val maxLsn = table.manifest.get.files.map(_.maxLsn).max
