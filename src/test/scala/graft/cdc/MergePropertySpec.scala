@@ -66,4 +66,29 @@ class MergePropertySpec extends SparkSpec {
       assert(last.rowsWritten == 0 && last.upserts == 0, "suffix replay not metadata-only")
     }
   }
+
+  test("saltedPreDedup hot-key pre-combine is state-equivalent to the plain path") {
+    import spark.implicits._
+    // duplicate-heavy, few docs — the storm the salted two-phase
+    // per-(key, salt) max-LSN pre-combine exists for; both paths must
+    // land the identical final state
+    cases.take(4).foreach { case (n, _, seed, nBatches) =>
+      val evs = mkEvents(n * 3, nDocs = 3, seed)
+      val per = math.max(1, evs.size / math.max(1, nBatches))
+      val batches = evs.grouped(per).toSeq
+
+      def run(salted: Boolean): org.apache.spark.sql.DataFrame = {
+        val t = new SnapshotTable(tmpDir(s"salt-$salted").toString, 4)
+        t.init(Model.tokenDocSchema)
+        batches.zipWithIndex.foreach { case (b, i) =>
+          MergeEngine.merge(spark, t, b.toDF(), "salt", i.toLong,
+            saltBuckets = 4, saltedPreDedup = salted)
+        }
+        t.read(spark)
+      }
+
+      val (a, b) = FoldOracle.diff(run(salted = true), run(salted = false))
+      assert(a == 0 && b == 0, s"salted pre-dedup diverged: +$a -$b (seed=$seed)")
+    }
+  }
 }
