@@ -18,6 +18,7 @@ object SparkEntry {
     EventOps,
     DedupOps,
     TextOps,
+    CurationOps,
     AnnOps,
     MediaOps,
     PipelineOps,

@@ -176,4 +176,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan") || p.contains("Exchange"),
       s"expected a distributed (cached or shuffled) pair source:\n$p")
   }
+
+  test("q56 packing: exactly one data shuffle — the per-source window partition") {
+    // The packer's cost model at 100 TB is a single hash exchange on the
+    // shard key; any extra exchange is a regression. (The second exchange
+    // in the plan is the presentation-only range sort.)
+    val p = plan("q56_sequence_packing")
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.count(_.contains("hash")) == 1,
+      s"expected exactly 1 hash exchange (window on source), got:\n$p")
+    assert(p.contains("hashpartitioning(source"), s"window not partitioned by source:\n$p")
+  }
+
+  test("q57 sampling: pure per-row predicate — no shuffle except the output sort") {
+    val p = plan("q57_stratified_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash sampler must not shuffle:\n$p")
+  }
+
+  test("q58 contamination: overlap join is an equi-join on the shingle hash, never all-pairs") {
+    val p = plan("q58_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination check degenerated to all-pairs:\n$p")
+  }
 }

@@ -137,4 +137,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == 20)
     assert(mismatch.isEmpty, "stateful sessionization disagrees with batch oracle")
   }
+
+  test("stream-static broadcast dim join enriches every micro-batch (fraud_detector zone-lookup shape)") {
+    // The reference enriches the trip stream with the static zone dim on
+    // every micro-batch (fraud_detector.py zone lookup); the Spark-native
+    // shape is a stream ⋈ broadcast(static) equi-join — stateless, no
+    // watermark needed, dim re-broadcast per epoch.
+    val events = mkEvents(1000)
+    val inDir = tmpDir("dimjoin-in")
+    writeOrdered(events, inDir, 3)
+
+    val dim = (0L until 20L).map(u => (u, s"tier${u % 3}")).toDF("user_id", "tier")
+    val outDir = tmpDir("dimjoin-out"); val ckpt = tmpDir("dimjoin-ckpt")
+    val q = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir.toString)
+      .start()
+    q.awaitTermination()
+
+    val got = spark.read.parquet(outDir.toString)
+    assert(got.count() == events.size, "rows lost or duplicated by the stream-dim join")
+    assert(got.filter($"tier".isNull).count() == 0, "dim lookup missed rows")
+    val bad = got.filter($"tier" =!= concat(lit("tier"), ($"user_id" % 3).cast("string")))
+    assert(bad.isEmpty, "dim attributes joined to the wrong key")
+  }
 }
