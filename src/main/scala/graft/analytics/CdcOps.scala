@@ -276,6 +276,26 @@ object CdcOps extends QueryPack {
     }
   )
 
+  /** DuckDB CTEs reconstructing the post-replay survivor state
+    * (doc_id VARCHAR, did, source, n_tok BIGINT, lsn BIGINT) from the
+    * changelog rules — shared with queries that compose downstream ops
+    * over the engine's output (CurationOps q60).
+    */
+  private[analytics] lazy val duckSurvivorState: String =
+    s"""toks AS (
+       |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
+       |    list_transform(
+       |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+       |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
+       |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks,
+       |    source
+       |  FROM documents),
+       |state AS (
+       |  SELECT doc_id, did, source,
+       |    CAST(len(base_toks) AS BIGINT) AS n_tok,
+       |    CAST(CASE WHEN did % 5 = 0 THEN 3 * did + 1 ELSE 3 * did END AS BIGINT) AS lsn
+       |  FROM toks WHERE did % 17 <> 0)""".stripMargin
+
   private lazy val incrementalReadSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,

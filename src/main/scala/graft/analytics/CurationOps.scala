@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.XHash
@@ -66,6 +66,20 @@ object CurationOps extends QueryPack {
       s"i -> $duckWords[i] || ' ' || $duckWords[i+1] || ' ' || $duckWords[i+2] || " +
       s"' ' || $duckWords[i+3] || ' ' || $duckWords[i+4])"
 
+  /** Concat-and-chunk packing columns over (doc_id, source, n_tok): one
+    * cumulative-sum window per source shard, then pure arithmetic.
+    */
+  private def packed(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    df.withColumn("end_off", sum(col("n_tok")).over(w))
+      .withColumn("begin_off", col("end_off") - col("n_tok"))
+      .withColumn("seq_id", expr(s"begin_off DIV $PackBudget"))
+      .withColumn("off_in_seq", col("begin_off") % PackBudget)
+      .withColumn("spans_boundary",
+        expr(s"(end_off - 1) DIV $PackBudget") > col("seq_id"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Per-source sampling threshold on the 32-bit hash: rate r keeps
     * hash32 < r·2^32. Rates rotate by the numeric source suffix so the
     * map stays valid at every scale factor without a literal source list.
@@ -87,16 +101,34 @@ object CurationOps extends QueryPack {
     // runs the same cumulative sum per shard.
     "q56_sequence_packing" -> { (s, dir) =>
       import s.implicits._
-      val w = Window.partitionBy($"source").orderBy($"doc_id")
-      Tables.load(s, dir, "documents")
-        .select($"doc_id", $"source", tokCol.as("n_tok"))
-        .withColumn("end_off", sum($"n_tok").over(w))
-        .withColumn("begin_off", $"end_off" - $"n_tok")
-        .withColumn("seq_id", expr(s"begin_off DIV $PackBudget"))
-        .withColumn("off_in_seq", $"begin_off" % PackBudget)
-        .withColumn("spans_boundary",
-          expr(s"(end_off - 1) DIV $PackBudget") > $"seq_id")
-        .orderBy("source", "doc_id")
+      packed(Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", tokCol.as("n_tok")))
+    },
+
+    // ── Incremental repacking over the CDC engine's snapshot ────────────
+    // The curation tier composed with the engine: repack ONLY the sources
+    // dirtied since a changed-since LSN threshold (q49's contract), read
+    // through the manifest-pruned incremental scan, over the CURRENT
+    // snapshot state. At 100 TB a packer maintains packed sequences
+    // incrementally: the dirty-source set comes from the pruned read
+    // (file-skipped, tiny), broadcast to gate the full-table scan, and
+    // only those shards re-run the cumulative-sum window. The threshold
+    // covers the last ~10 doc ids — a fresh tail that dirties 10 of the
+    // 20 sources at every SF, so the gate provably halves the repack
+    // (asserted in CurationOpsSpec). (Source-level dirtiness from a pure
+    // DELETE needs the pre-image retained by the MOR delta metadata; the
+    // oracle applies the identical survivor-based rule.)
+    "q60_incremental_repack" -> { (s, dir) =>
+      import s.implicits._
+      val t = CdcOps.replayFor(s, dir).table
+      val m = t.manifest.get
+      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val minLsn = 3L * (maxDid - 10)
+      val dirty = t.readBuckets(s, (0 until m.numBuckets).toSet, minLsn)
+        .select($"source").distinct()
+      packed(t.read(s)
+        .join(broadcast(dirty), Seq("source"))
+        .select($"doc_id", $"source", $"n_tok".cast("long").as("n_tok")))
     },
 
     // ── Deterministic stratified sampling (domain mixing) ───────────────
@@ -185,6 +217,24 @@ object CurationOps extends QueryPack {
          |  SELECT doc_id, source, n_tok,
          |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS end_off
          |  FROM d)
+         |SELECT doc_id, source, n_tok, end_off,
+         |  end_off - n_tok AS begin_off,
+         |  (end_off - n_tok) // $PackBudget AS seq_id,
+         |  (end_off - n_tok) % $PackBudget AS off_in_seq,
+         |  (end_off - 1) // $PackBudget > (end_off - n_tok) // $PackBudget AS spans_boundary
+         |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    // Same survivor-state reconstruction as the q50 oracle, same dirty
+    // rule as q49's, then the identical packing arithmetic as q56's.
+    "q60_incremental_repack" ->
+      s"""WITH ${CdcOps.duckSurvivorState},
+         |dirty AS (
+         |  SELECT DISTINCT source FROM state
+         |  WHERE lsn >= 3 * ((SELECT max(doc_id) FROM documents) - 10)),
+         |c AS (
+         |  SELECT doc_id, source, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS end_off
+         |  FROM state WHERE source IN (SELECT source FROM dirty))
          |SELECT doc_id, source, n_tok, end_off,
          |  end_off - n_tok AS begin_off,
          |  (end_off - n_tok) // $PackBudget AS seq_id,

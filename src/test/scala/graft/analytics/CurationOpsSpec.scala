@@ -15,20 +15,29 @@ class CurationOpsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.01"
   private def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
 
-  test("q56 packing: offsets tile the per-source token stream with no gap or overlap") {
-    val rows = q("q56_sequence_packing")
+  /** Packing laws shared by q56 (raw documents) and q60 (CDC snapshot):
+    * offsets tile each source's token stream contiguously and agree with
+    * the budget arithmetic. `docKey` orders docs the way the window did.
+    */
+  private def assertTiling(name: String, docKey: org.apache.spark.sql.Row => Any): Unit = {
+    implicit val anyOrd: Ordering[Any] = (a, b) => (a, b) match {
+      case (x: Long, y: Long) => x.compareTo(y)
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => fail(s"unexpected key types: $a / $b")
+    }
+    val rows = q(name)
       .select("source", "doc_id", "n_tok", "begin_off", "end_off",
         "seq_id", "off_in_seq", "spans_boundary")
       .collect()
       .groupBy(_.getString(0))
     assert(rows.nonEmpty)
     rows.foreach { case (src, docs) =>
-      val sorted = docs.sortBy(_.getLong(1))
+      val sorted = docs.sortBy(docKey)
       // contiguity: first begins at 0, each begin = previous end
       assert(sorted.head.getLong(3) == 0L, s"$src starts at ${sorted.head.getLong(3)}")
       sorted.sliding(2).foreach {
         case Array(a, b) => assert(b.getLong(3) == a.getLong(4),
-          s"$src gap: doc ${b.getLong(1)} begins ${b.getLong(3)} != prev end ${a.getLong(4)}")
+          s"$src gap: doc ${b.get(1)} begins ${b.getLong(3)} != prev end ${a.getLong(4)}")
         case _ =>
       }
       // offsets ↔ seq assignment consistent with the budget
@@ -36,7 +45,7 @@ class CurationOpsSpec extends SparkSpec {
         val (begin, seq, off) = (r.getLong(3), r.getLong(5), r.getLong(6))
         assert(seq == begin / CurationOps.PackBudget && off == begin % CurationOps.PackBudget)
         val spans = (begin + r.getLong(2) - 1) / CurationOps.PackBudget > seq
-        assert(r.getBoolean(7) == spans, s"$src doc ${r.getLong(1)} spans_boundary wrong")
+        assert(r.getBoolean(7) == spans, s"$src doc ${r.get(1)} spans_boundary wrong")
       }
     }
     // fixture exercises both packer cases
@@ -44,6 +53,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(all.count(_.getBoolean(7)) > 0, "no boundary-spanning docs at this budget")
     val multiDoc = all.groupBy(r => (r.getString(0), r.getLong(5))).values.count(_.size > 1)
     assert(multiDoc > 0, "no multi-doc sequences at this budget")
+  }
+
+  test("q56 packing: offsets tile the per-source token stream with no gap or overlap") {
+    assertTiling("q56_sequence_packing", _.getLong(1))
+  }
+
+  test("q60 incremental repack: packing laws hold on the CDC snapshot; only dirty sources repacked") {
+    assertTiling("q60_incremental_repack", _.getString(1))
+    // dirty gating: repacked sources == sources with a surviving row whose
+    // final LSN clears the threshold (derived from the changelog rules),
+    // and the gate must exclude a real fraction of the corpus
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val maxDid = docs.agg(max("doc_id")).head().getLong(0)
+    val expected = docs.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("lsn", when(col("doc_id") % 5 === 0, col("doc_id") * 3 + 1)
+        .otherwise(col("doc_id") * 3))
+      .filter(col("lsn") >= 3L * (maxDid - 10))
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    val got = q("q60_incremental_repack")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(got == expected, s"dirty-source gate wrong: got $got expected $expected")
+    val all = docs.select("source").distinct().count()
+    assert(got.size < all, "gate excluded nothing — not incremental")
   }
 
   test("q57 sampling: deterministic, on-target per rate class, thresholds nested") {
