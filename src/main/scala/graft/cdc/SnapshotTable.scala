@@ -68,14 +68,49 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16) {
     m
   }
 
-  /** Atomically publish a new manifest version. */
+  /** Atomically publish a new manifest version, with optimistic
+    * concurrency (the round-2 "silent lost update" fix):
+    *
+    *  - The version's manifest file is CLAIMED with an atomic
+    *    no-replace move. Committing a version at or below the PUBLISHED
+    *    current throws [[SnapshotTable.ConcurrentCommitException]] — the
+    *    loser must re-read the table and rebase its merge (MergeEngine's
+    *    pre-commit `latest.version` require is the cheap early check;
+    *    this is the race-free arbiter for completed commits).
+    *  - An EXISTING but UNPUBLISHED claim (manifest file present, pointer
+    *    still behind) is a crash orphan — a writer died between claim and
+    *    publish. The engine's fenced streaming writer is the only
+    *    component that can resume into that state, so the orphan is
+    *    atomically replaced and the commit proceeds (epoch fences make
+    *    the re-applied merge equivalent). Two LIVE writers racing the
+    *    same unpublished version remain the documented single-writer
+    *    assumption (as with a filesystem-catalog Iceberg table, a true
+    *    multi-writer deployment arbitrates through a locking catalog).
+    *  - The current pointer only ever advances, so a slow winner of vN
+    *    can never clobber a published vN+1.
+    */
   def commit(m: Manifest): Unit = {
     val mp = manifestPath(m.version)
     Files.createDirectories(mp.getParent)
-    Files.write(mp, Manifest.toJson(m).getBytes(StandardCharsets.UTF_8))
-    val tmp = rootPath.resolve(s"_current.tmp.${m.version}")
-    Files.write(tmp, m.version.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    if (currentVersion.exists(_ >= m.version))
+      throw new SnapshotTable.ConcurrentCommitException(root, m.version)
+    val mtmp = rootPath.resolve(s"_manifest.tmp.${m.version}")
+    Files.write(mtmp, Manifest.toJson(m).getBytes(StandardCharsets.UTF_8))
+    try Files.move(mtmp, mp, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        if (currentVersion.exists(_ >= m.version)) { // published meanwhile
+          Files.deleteIfExists(mtmp)
+          throw new SnapshotTable.ConcurrentCommitException(root, m.version)
+        }
+        // unpublished crash orphan: reclaim atomically
+        Files.move(mtmp, mp, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (currentVersion.forall(_ < m.version)) {
+      val tmp = rootPath.resolve(s"_current.tmp.${m.version}")
+      Files.write(tmp, m.version.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Cast/pad `df` to exactly `target` (case-insensitive name resolution,
@@ -257,6 +292,13 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16) {
 }
 
 object SnapshotTable {
+
+  /** Another writer committed this version first (optimistic-concurrency
+    * loss): re-read the table and rebase the merge onto the new current.
+    */
+  final class ConcurrentCommitException(root: String, version: Long)
+    extends RuntimeException(
+      s"concurrent commit lost at $root: v$version already exists — rebase onto the current manifest")
 
   /** Projection list that casts/pads a source schema onto `target`:
     * case-insensitive resolution, missing columns null-filled, numeric

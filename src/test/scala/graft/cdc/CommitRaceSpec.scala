@@ -1,0 +1,65 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+import graft.SparkSpec
+
+/** Optimistic-concurrency commit semantics (the round-2 "silent lost
+  * update" advisory): a commit racing a PUBLISHED version loses loudly
+  * with ConcurrentCommitException and leaves the winner's state intact;
+  * an UNPUBLISHED orphan (crash between claim and publish) is reclaimed
+  * on resume; the current pointer never moves backwards.
+  */
+class CommitRaceSpec extends SparkSpec {
+
+  private def freshTable(): SnapshotTable = {
+    val t = new SnapshotTable(tmpDir("race").resolve("t").toString, 4)
+    t.init(Model.tokenDocSchema)
+    t
+  }
+
+  private def manifestV(t: SnapshotTable, v: Long): Manifest =
+    t.manifest.get.copy(version = v, parentVersion = v - 1)
+
+  test("committing an already-published version throws and preserves the winner") {
+    val t = freshTable()
+    val winner = manifestV(t, 1L).copy(fences = Map("w" -> 0L))
+    t.commit(winner)
+    assert(t.currentVersion.contains(1L))
+
+    val loser = manifestV(t, 1L).copy(fences = Map("l" -> 99L))
+    intercept[SnapshotTable.ConcurrentCommitException] { t.commit(loser) }
+    // winner's manifest content untouched, pointer unchanged
+    assert(t.currentVersion.contains(1L))
+    assert(t.manifest.get.fences == Map("w" -> 0L))
+
+    // the loser rebases onto the published current and succeeds at v2
+    val rebased = manifestV(t, 2L).copy(fences = Map("w" -> 0L, "l" -> 99L))
+    t.commit(rebased)
+    assert(t.currentVersion.contains(2L))
+    assert(t.manifest.get.fences("l") == 99L)
+  }
+
+  test("unpublished crash orphan is reclaimed; pointer never regresses") {
+    val t = freshTable()
+    // simulate a writer that died between claim and publish: v1 manifest
+    // exists on disk but the pointer still says v0
+    val orphan = manifestV(t, 1L).copy(fences = Map("dead" -> 1L))
+    val mp = Paths.get(t.root, "manifests", "v1.json")
+    Files.write(mp, Manifest.toJson(orphan).getBytes(StandardCharsets.UTF_8))
+    assert(t.currentVersion.contains(0L))
+
+    // the resumed (fenced) writer re-commits v1 with its recomputed state
+    val resumed = manifestV(t, 1L).copy(fences = Map("resumed" -> 1L))
+    t.commit(resumed)
+    assert(t.currentVersion.contains(1L))
+    assert(t.manifest.get.fences == Map("resumed" -> 1L), "orphan not reclaimed")
+
+    // a stale commit below the published current can never regress state
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      t.commit(manifestV(t, 1L).copy(fences = Map("stale" -> 7L)))
+    }
+    assert(t.manifest.get.fences == Map("resumed" -> 1L))
+  }
+}
