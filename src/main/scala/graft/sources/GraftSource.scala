@@ -1,12 +1,12 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
 
-import graft.cdc.{Model, SnapshotTable}
+import graft.cdc.{MergeEngine, Model, SnapshotTable}
 
 /** `spark.read.format("graft")` — the snapshot table as a first-class
   * Spark data source, so downstream consumers address the engine's tables
@@ -32,11 +32,33 @@ import graft.cdc.{Model, SnapshotTable}
   *     are fully applied by the relation (declared handled); everything
   *     else is evaluated by Spark on top.
   *
-  * Read-only by design: writes go through the fenced
-  * `MergeEngine`/`IngestJob` MERGE path — an unfenced
-  * `df.write.format("graft")` would bypass exactly-once.
+  * The WRITE path keeps the engine's exactly-once contract instead of
+  * bypassing it: `df.write.format("graft")` is a FENCED change-batch
+  * append through `MergeEngine.merge`, so the standard writer API gets
+  * the same MERGE/dedup/fence/schema-evolution semantics as the
+  * streaming ingest:
+  *
+  * {{{
+  *   changes // columns: lsn, op ('I'|'U'|'D'), doc_id, <payload...>
+  *     .write.format("graft")
+  *     .option("queryId", "backfill").option("epochId", 7)   // REQUIRED
+  *     .mode(SaveMode.Append).save("/path/to/table")
+  * }}}
+  *
+  *   - `queryId`/`epochId` are mandatory: a re-delivered epoch is a
+  *     fenced no-op, exactly like the streaming path. An unfenced write
+  *     API would silently break exactly-once, so there isn't one.
+  *   - The batch must be change-shaped (`lsn` + `op` + key + payload);
+  *     `partition` (source-partition lineage for the watermark ledger)
+  *     defaults to 0 when absent.
+  *   - Append on a missing table initializes it from the batch's payload
+  *     schema (`numBuckets` option, default 16). ErrorIfExists/Ignore
+  *     behave per their contract; Overwrite is rejected — full refresh
+  *     is an explicit engine operation (compact / replay), not a writer
+  *     mode you can trip into.
   */
-class GraftSource extends RelationProvider with DataSourceRegister {
+class GraftSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -50,6 +72,47 @@ class GraftSource extends RelationProvider with DataSourceRegister {
     // relation never calls
     GraftRelation(sqlContext, new SnapshotTable(path),
       version = parameters.get("version").map(_.toLong))
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      sys.error("graft sink requires a path: df.write.format(\"graft\").save(dir)"))
+    val table = new SnapshotTable(path,
+      parameters.get("numBuckets").map(_.toInt).getOrElse(16))
+    val skip = mode match {
+      case SaveMode.Overwrite =>
+        sys.error("graft: SaveMode.Overwrite is not a writer mode — full refresh " +
+          "is an explicit engine operation (MergeEngine.compact / replay); " +
+          "use Append with a fenced change batch")
+      case SaveMode.ErrorIfExists if table.exists =>
+        sys.error(s"graft table already exists at $path (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if table.exists => true
+      case _ => false
+    }
+    if (!skip) {
+      val queryId = parameters.getOrElse("queryId", sys.error(
+        "graft: fenced write requires option(\"queryId\") — the writer API keeps " +
+          "the engine's exactly-once contract (re-delivered epochs are no-ops)"))
+      val epochId = parameters.getOrElse("epochId", sys.error(
+        "graft: fenced write requires option(\"epochId\")")).toLong
+      val cols = data.columns.map(_.toLowerCase).toSet
+      Seq("lsn", "op", "doc_id").foreach(c => require(cols.contains(c),
+        s"graft: change batch must carry '$c' (columns: ${data.columns.mkString(",")})"))
+      val events =
+        if (cols.contains("partition")) data
+        else data.withColumn("partition", lit(0))
+      if (!table.exists) {
+        val payload = StructType(events.schema.fields
+          .filterNot(f => Model.metaCols.contains(f.name.toLowerCase)))
+        table.init(payload)
+      }
+      MergeEngine.merge(sqlContext.sparkSession, table, events, queryId, epochId)
+    }
+    GraftRelation(sqlContext, table, version = None)
   }
 }
 

@@ -100,4 +100,47 @@ class GraftSourceSpec extends SparkSpec {
     // sanity: the relation resolves rows>0 below the max
     assert(viaSource.filter(col(Model.LsnCol) >= maxLsn).count() > 0)
   }
+
+  test("write path: fenced change-batch append creates, merges, and fences") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = tmpDir("gsink").resolve("t").toString
+    def batch(rows: Seq[(Long, String, String, Seq[Int])]) =
+      rows.map { case (lsn, op, doc, toks) => (lsn, op, doc, toks, toks.size, "web") }
+        .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+
+    // epoch 0: creation + inserts through the writer API
+    batch(Seq((1, "I", "a", Seq(1, 2)), (2, "I", "b", Seq(3))))
+      .write.format("graft").option("queryId", "api").option("epochId", 0)
+      .mode(SaveMode.Append).save(dir)
+    val read0 = spark.read.format("graft").load(dir)
+    assert(read0.count() == 2)
+
+    // epoch 1: update a, delete b — standard MERGE semantics
+    batch(Seq((3, "U", "a", Seq(9)), (4, "D", "b", Seq())))
+      .write.format("graft").option("queryId", "api").option("epochId", 1)
+      .mode(SaveMode.Append).save(dir)
+    val state = spark.read.format("graft").load(dir)
+      .select("doc_id", "tokens").as[(String, Seq[Int])].collect().toMap
+    assert(state == Map("a" -> Seq(9)), state.toString)
+
+    // re-delivered epoch 1 with DIFFERENT payload is a fenced no-op
+    batch(Seq((5, "U", "a", Seq(777))))
+      .write.format("graft").option("queryId", "api").option("epochId", 1)
+      .mode(SaveMode.Append).save(dir)
+    val after = spark.read.format("graft").load(dir)
+      .select("doc_id", "tokens").as[(String, Seq[Int])].collect().toMap
+    assert(after == Map("a" -> Seq(9)), "fence did not stop the re-delivered epoch")
+
+    // unfenced writes and Overwrite are rejected loudly
+    intercept[RuntimeException] {
+      batch(Seq((9, "I", "z", Seq(1)))).write.format("graft")
+        .mode(SaveMode.Append).save(dir)
+    }
+    intercept[RuntimeException] {
+      batch(Seq((9, "I", "z", Seq(1)))).write.format("graft")
+        .option("queryId", "api").option("epochId", 2)
+        .mode(SaveMode.Overwrite).save(dir)
+    }
+  }
 }
