@@ -58,9 +58,33 @@ import graft.cdc.{MergeEngine, Model, SnapshotTable}
   *     mode you can trip into.
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `writeStream.format("graft")`: each micro-batch is a fenced merge
+    * with `epochId = batchId` — checkpoint-recovered re-deliveries no-op
+    * on the fence, so exactly-once holds through the streaming writer
+    * API. `queryId` names the fence lane (mandatory, same reasoning as
+    * the batch writer); `numBuckets`/`mode` tune the table like
+    * `IngestJob.Config`.
+    */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path",
+      sys.error("graft sink requires a path: writeStream.format(\"graft\").option(\"path\", dir)"))
+    val queryId = parameters.getOrElse("queryId", sys.error(
+      "graft: fenced streaming sink requires option(\"queryId\")"))
+    new org.apache.spark.sql.graft.GraftStreamSink(
+      new SnapshotTable(path, parameters.get("numBuckets").map(_.toInt).getOrElse(16)),
+      queryId,
+      saltBuckets = parameters.get("saltBuckets").map(_.toInt).getOrElse(64),
+      writeSplits = parameters.get("writeSplits").map(_.toInt).getOrElse(4),
+      mode = parameters.getOrElse("mode", MergeEngine.ModeMor))
+  }
 
   override def createRelation(
       sqlContext: SQLContext,

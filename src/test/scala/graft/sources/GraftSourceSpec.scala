@@ -101,6 +101,33 @@ class GraftSourceSpec extends SparkSpec {
     assert(viaSource.filter(col(Model.LsnCol) >= maxLsn).count() > 0)
   }
 
+  test("streaming sink: writeStream.format(\"graft\") equals the library ingest state") {
+    import org.apache.spark.sql.streaming.Trigger
+    // same generated changelog as the read fixture, driven through the
+    // PUBLIC streaming writer instead of IngestJob — final state must
+    // match the library-built table exactly
+    val cfg = ChangelogGen.Config(numEvents = 6000, numDocs = 1200, numFiles = 4)
+    val logDir = tmpDir("gss-log")
+    ChangelogGen.writeLog(spark, cfg, logDir.toString)
+    val sinkDir = tmpDir("gss-table").resolve("t").toString
+    val q = spark.readStream.schema(Model.changeEventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(logDir.toString)
+      .writeStream.format("graft")
+      .option("path", sinkDir).option("queryId", "ssink")
+      .option("checkpointLocation", tmpDir("gss-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val viaSink = spark.read.format("graft").load(sinkDir)
+      .drop(Model.LsnCol).orderBy("doc_id").collect()
+    val viaLib = table.read(spark).orderBy("doc_id").collect()
+    assert(viaSink.length == viaLib.length && viaSink.sameElements(viaLib),
+      s"sink state diverges from library ingest: ${viaSink.length} vs ${viaLib.length}")
+    // fences advanced one epoch per micro-batch file
+    val fences = new SnapshotTable(sinkDir).manifest.get.fences
+    assert(fences.get("ssink").exists(_ >= 3), fences.toString)
+  }
+
   test("write path: fenced change-batch append creates, merges, and fences") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
