@@ -91,10 +91,46 @@ object CdcOps extends QueryPack {
     */
   private val replayed = new Tables.FingerprintMemo[Replay](r =>
     scala.util.Try(Tables.deleteRecursively(r.work)))
+  private val sinkBuilt = new Tables.FingerprintMemo[String](d =>
+    scala.util.Try(Tables.deleteRecursively(d)))
   /** Bench hook: drop the memoized replay so a fresh pass re-pays the
     * full streaming ingest instead of serving the cached table.
     */
-  private[graft] def reset(): Unit = replayed.clear()
+  private[graft] def reset(): Unit = { replayed.clear(); sinkBuilt.clear() }
+
+  /** Build the same final state as [[replayFor]], but through the PUBLIC
+    * batch writer API (`df.write.format("graft")`, one fenced epoch per
+    * chunk) instead of the library IngestJob — q61 puts that path under
+    * the external hash gate. The writer applies clean change batches
+    * verbatim (validation/quarantine is the ingest job's concern), so the
+    * malformed d%23 events are pre-filtered by the same validity rule;
+    * duplicate re-deliveries stay IN, proving the below-watermark dedup
+    * fires inside the writer path too.
+    */
+  private def sinkTableFor(s: SparkSession, dir: String): String =
+    sinkBuilt.getOrElseUpdate(dir,
+      s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
+      val work = Files.createTempDirectory("graft-sinkq61").toString
+      val tableDir = s"$work/table"
+      val log = {
+        val full = changelog(s, dir)
+        full.filter(IngestJob.validExpr(full))
+      }
+      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val chunk = maxDid / 4 + 1
+      for (k <- 0 until 5) {
+        val lo = k * chunk; val hi = (k + 1) * chunk
+        val fresh = log.filter(col("lsn") >= lo * 3 && col("lsn") < hi * 3)
+        val dups = log.filter(
+          col("op") === "I" && pmod(col("lsn") / 3, lit(13L)) === 0 &&
+            col("lsn") >= (k - 1) * chunk * 3 && col("lsn") < lo * 3)
+        fresh.unionByName(dups)
+          .write.format("graft")
+          .option("queryId", "writer-api").option("epochId", k)
+          .mode(org.apache.spark.sql.SaveMode.Append).save(tableDir)
+      }
+      work
+    }
 
   private[analytics] def replayFor(s: SparkSession, dir: String): Replay =
     replayed.getOrElseUpdate(dir,
@@ -260,6 +296,20 @@ object CdcOps extends QueryPack {
     // the driver's hash gate. Per-partition LSN-monotone arrival order is
     // covered by the cdc specs (file order is part of the WAL contract and
     // needs file mtimes, which SQL can't see).
+    // The PUBLIC writer path under the hash gate: the same deterministic
+    // changelog applied through df.write.format("graft") fenced epochs
+    // must land in the exact q50 final state (valid events only — the
+    // writer takes clean change batches; the below-watermark dedup of the
+    // duplicate re-deliveries happens inside the engine either way).
+    "q61_writer_api_state" -> { (s, dir) =>
+      import s.implicits._
+      s.read.format("graft").load(s"${sinkTableFor(s, dir)}/table")
+        .select($"doc_id",
+          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
+          $"n_tok", $"source")
+        .orderBy("doc_id")
+    },
+
     "q53_producer_log_readback" -> { (s, dir) =>
       import s.implicits._
       s.read.parquet(s"${replayFor(s, dir).work}/log")
@@ -317,24 +367,30 @@ object CdcOps extends QueryPack {
        |WHERE lsn >= 3 * ((SELECT max(doc_id) FROM documents) // 2)
        |ORDER BY doc_id""".stripMargin
 
+  /** Shared by q50 (library ingest) and q61 (public writer API): both
+    * paths must reproduce the identical survivor state.
+    */
+  private lazy val replayStateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
+       |    list_transform(
+       |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+       |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
+       |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks,
+       |    source
+       |  FROM documents)
+       |SELECT doc_id,
+       |  md5(array_to_string(
+       |    CASE WHEN did % 5 = 0
+       |         THEN list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT))
+       |         ELSE base_toks END, ',')) AS tokens_fp,
+       |  CAST(len(base_toks) AS INT) AS n_tok,
+       |  source
+       |FROM toks WHERE did % 17 <> 0 ORDER BY doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "q50_cdc_replay" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
-         |    list_transform(
-         |      list_filter(string_split(text, ' '), w -> length(w) > 0),
-         |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
-         |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks,
-         |    source
-         |  FROM documents)
-         |SELECT doc_id,
-         |  md5(array_to_string(
-         |    CASE WHEN did % 5 = 0
-         |         THEN list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT))
-         |         ELSE base_toks END, ',')) AS tokens_fp,
-         |  CAST(len(base_toks) AS INT) AS n_tok,
-         |  source
-         |FROM toks WHERE did % 17 <> 0 ORDER BY doc_id""".stripMargin,
+    "q50_cdc_replay" -> replayStateSql,
+    "q61_writer_api_state" -> replayStateSql,
 
     // Per-epoch metrics, re-derived from the changelog rules: epoch k
     // carries the fresh events of chunk k (insert per doc; update if
