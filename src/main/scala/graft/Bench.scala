@@ -38,11 +38,7 @@ object Bench {
       graft.analytics.DedupOps.clearCache()
       graft.analytics.CdcOps.reset()
       graft.analytics.SourceOps.reset()
-      // dev iteration aid, mirrors Verify's SPARK_GRAFT_ONLY (driver sets
-      // no filter → full run)
-      val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      SparkEntry.selectedQueries.toSeq.sortBy(_._1)
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

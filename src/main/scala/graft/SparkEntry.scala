@@ -33,6 +33,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.flatMap(_.queries).toMap
 
+  /** Dev-iteration filter shared by Verify and Bench: restrict to queries
+    * whose name starts with one of the comma-separated SPARK_GRAFT_ONLY
+    * prefixes; the driver sets no filter and gets everything.
+    */
+  def selectedQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    queries.filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */

@@ -98,6 +98,25 @@ object CdcOps extends QueryPack {
     */
   private[graft] def reset(): Unit = { replayed.clear(); sinkBuilt.clear() }
 
+  /** The 5-epoch chunking of the changelog, including the duplicate
+    * re-delivery of the previous chunk's d%13 inserts — ONE definition,
+    * so the library-ingest replay (q50) and the writer-API build (q61)
+    * provably consume the identical event stream.
+    */
+  private def epochBatches(s: SparkSession, dir: String,
+      log: DataFrame): Seq[(Int, DataFrame)] = {
+    val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+    val chunk = maxDid / 4 + 1
+    (0 until 5).map { k =>
+      val lo = k * chunk; val hi = (k + 1) * chunk
+      val fresh = log.filter(col("lsn") >= lo * 3 && col("lsn") < hi * 3)
+      val dups = log.filter(
+        col("op") === "I" && pmod(col("lsn") / 3, lit(13L)) === 0 &&
+          col("lsn") >= (k - 1) * chunk * 3 && col("lsn") < lo * 3)
+      k -> fresh.unionByName(dups)
+    }
+  }
+
   /** Build the same final state as [[replayFor]], but through the PUBLIC
     * batch writer API (`df.write.format("graft")`, one fenced epoch per
     * chunk) instead of the library IngestJob — q61 puts that path under
@@ -116,16 +135,8 @@ object CdcOps extends QueryPack {
         val full = changelog(s, dir)
         full.filter(IngestJob.validExpr(full))
       }
-      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
-      val chunk = maxDid / 4 + 1
-      for (k <- 0 until 5) {
-        val lo = k * chunk; val hi = (k + 1) * chunk
-        val fresh = log.filter(col("lsn") >= lo * 3 && col("lsn") < hi * 3)
-        val dups = log.filter(
-          col("op") === "I" && pmod(col("lsn") / 3, lit(13L)) === 0 &&
-            col("lsn") >= (k - 1) * chunk * 3 && col("lsn") < lo * 3)
-        fresh.unionByName(dups)
-          .write.format("graft")
+      epochBatches(s, dir, log).foreach { case (k, batch) =>
+        batch.write.format("graft")
           .option("queryId", "writer-api").option("epochId", k)
           .mode(org.apache.spark.sql.SaveMode.Append).save(tableDir)
       }
@@ -136,21 +147,12 @@ object CdcOps extends QueryPack {
     replayed.getOrElseUpdate(dir,
       s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
       val work = Files.createTempDirectory("graft-cdcops").toString
-      val log = changelog(s, dir)
-      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
-      val chunk = maxDid / 4 + 1
       val logDir = Paths.get(s"$work/log")
       Files.createDirectories(logDir)
       val t0 = System.currentTimeMillis()
-      for (k <- 0 until 5) {
-        val lo = k * chunk; val hi = (k + 1) * chunk
-        val fresh = log.filter(col("lsn") >= lo * 3 && col("lsn") < hi * 3)
-        // duplicate re-delivery of the previous chunk's inserts
-        val dups = log.filter(
-          col("op") === "I" && pmod(col("lsn") / 3, lit(13L)) === 0 &&
-            col("lsn") >= (k - 1) * chunk * 3 && col("lsn") < lo * 3)
+      epochBatches(s, dir, changelog(s, dir)).foreach { case (k, batch) =>
         ChangelogGen.writeSingleFile(
-          fresh.unionByName(dups).orderBy("lsn"), logDir, f"chunk-$k%05d.parquet",
+          batch.orderBy("lsn"), logDir, f"chunk-$k%05d.parquet",
           Some(t0 + k * 1000L))
       }
       val table = IngestJob.replay(s, IngestJob.Config(
@@ -296,20 +298,6 @@ object CdcOps extends QueryPack {
     // the driver's hash gate. Per-partition LSN-monotone arrival order is
     // covered by the cdc specs (file order is part of the WAL contract and
     // needs file mtimes, which SQL can't see).
-    // The PUBLIC writer path under the hash gate: the same deterministic
-    // changelog applied through df.write.format("graft") fenced epochs
-    // must land in the exact q50 final state (valid events only — the
-    // writer takes clean change batches; the below-watermark dedup of the
-    // duplicate re-deliveries happens inside the engine either way).
-    "q61_writer_api_state" -> { (s, dir) =>
-      import s.implicits._
-      s.read.format("graft").load(s"${sinkTableFor(s, dir)}/table")
-        .select($"doc_id",
-          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
-          $"n_tok", $"source")
-        .orderBy("doc_id")
-    },
-
     "q53_producer_log_readback" -> { (s, dir) =>
       import s.implicits._
       s.read.parquet(s"${replayFor(s, dir).work}/log")
@@ -323,6 +311,20 @@ object CdcOps extends QueryPack {
             .as("n_dup"),
           min($"lsn").as("min_lsn"), max($"lsn").as("max_lsn"))
         .orderBy("partition")
+    },
+
+    // The PUBLIC writer path under the hash gate: the same deterministic
+    // changelog applied through df.write.format("graft") fenced epochs
+    // must land in the exact q50 final state (valid events only — the
+    // writer takes clean change batches; the below-watermark dedup of the
+    // duplicate re-deliveries happens inside the engine either way).
+    "q61_writer_api_state" -> { (s, dir) =>
+      import s.implicits._
+      s.read.format("graft").load(s"${sinkTableFor(s, dir)}/table")
+        .select($"doc_id",
+          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
+          $"n_tok", $"source")
+        .orderBy("doc_id")
     }
   )
 
@@ -342,28 +344,17 @@ object CdcOps extends QueryPack {
        |  FROM documents),
        |state AS (
        |  SELECT doc_id, did, source,
+       |    md5(array_to_string(
+       |      CASE WHEN did % 5 = 0
+       |           THEN list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT))
+       |           ELSE base_toks END, ',')) AS tokens_fp,
        |    CAST(len(base_toks) AS BIGINT) AS n_tok,
        |    CAST(CASE WHEN did % 5 = 0 THEN 3 * did + 1 ELSE 3 * did END AS BIGINT) AS lsn
        |  FROM toks WHERE did % 17 <> 0)""".stripMargin
 
   private lazy val incrementalReadSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
-       |    list_transform(
-       |      list_filter(string_split(text, ' '), w -> length(w) > 0),
-       |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
-       |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks
-       |  FROM documents),
-       |final AS (
-       |  SELECT doc_id,
-       |    md5(array_to_string(
-       |      CASE WHEN did % 5 = 0
-       |           THEN list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT))
-       |           ELSE base_toks END, ',')) AS tokens_fp,
-       |    CAST(len(base_toks) AS INT) AS n_tok,
-       |    CAST(CASE WHEN did % 5 = 0 THEN 3 * did + 1 ELSE 3 * did END AS BIGINT) AS lsn
-       |  FROM toks WHERE did % 17 <> 0)
-       |SELECT doc_id, tokens_fp, n_tok, lsn FROM final
+    s"""WITH $duckSurvivorState
+       |SELECT doc_id, tokens_fp, CAST(n_tok AS INT) AS n_tok, lsn FROM state
        |WHERE lsn >= 3 * ((SELECT max(doc_id) FROM documents) // 2)
        |ORDER BY doc_id""".stripMargin
 
@@ -371,22 +362,9 @@ object CdcOps extends QueryPack {
     * paths must reproduce the identical survivor state.
     */
   private lazy val replayStateSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
-       |    list_transform(
-       |      list_filter(string_split(text, ' '), w -> length(w) > 0),
-       |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
-       |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks,
-       |    source
-       |  FROM documents)
-       |SELECT doc_id,
-       |  md5(array_to_string(
-       |    CASE WHEN did % 5 = 0
-       |         THEN list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT))
-       |         ELSE base_toks END, ',')) AS tokens_fp,
-       |  CAST(len(base_toks) AS INT) AS n_tok,
-       |  source
-       |FROM toks WHERE did % 17 <> 0 ORDER BY doc_id""".stripMargin
+    s"""WITH $duckSurvivorState
+       |SELECT doc_id, tokens_fp, CAST(n_tok AS INT) AS n_tok, source FROM state
+       |ORDER BY doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q50_cdc_replay" -> replayStateSql,
@@ -458,22 +436,11 @@ object CdcOps extends QueryPack {
     // their own-chunk delete, all 'added' (a doc's I/U/D land in its own
     // chunk; dup re-deliveries are below-watermark no-ops).
     "q48_snapshot_diff" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
-         |    list_transform(
-         |      list_filter(string_split(text, ' '), w -> length(w) > 0),
-         |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
-         |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks
-         |  FROM documents)
-         |SELECT doc_id, 'added' AS status,
-         |  md5(array_to_string(
-         |    CASE WHEN did % 5 = 0
-         |         THEN list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT))
-         |         ELSE base_toks END, ',')) AS fp_new,
-         |  CAST(len(base_toks) AS INT) AS n_tok
-         |FROM toks
+      s"""WITH $duckSurvivorState
+         |SELECT doc_id, 'added' AS status, tokens_fp AS fp_new,
+         |  CAST(n_tok AS INT) AS n_tok
+         |FROM state
          |WHERE did // (SELECT max(doc_id) // 4 + 1 FROM documents) = 3
-         |  AND did % 17 <> 0
          |ORDER BY doc_id""".stripMargin,
 
     // The full event population by rule: every doc inserts; d%5 updates;

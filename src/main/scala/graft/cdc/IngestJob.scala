@@ -74,11 +74,7 @@ object IngestJob {
     */
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
     val table = new SnapshotTable(cfg.tableDir, cfg.numBuckets)
-    if (!table.exists) {
-      val payload = StructType(
-        cfg.schema.fields.filterNot(f => Model.metaCols.contains(f.name.toLowerCase)))
-      table.init(payload, cfg.numBuckets)
-    }
+    table.ensureInitialized(cfg.schema)
 
     var reader = spark.readStream.schema(cfg.schema)
     cfg.maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))

@@ -64,6 +64,13 @@ object Model {
 
   /** Columns that are engine metadata, not payload. */
   val metaCols: Set[String] = Set("lsn", "partition", "op", "ts", LsnCol, OpCol, "_bucket")
+
+  /** The payload (user-table) part of a change-event schema — one
+    * definition shared by every init-from-events path (IngestJob, batch
+    * writer, streaming sink).
+    */
+  def payloadSchema(eventSchema: StructType): StructType =
+    StructType(eventSchema.fields.filterNot(f => metaCols.contains(f.name.toLowerCase)))
 }
 
 case class TokenDoc(doc_id: String, tokens: Array[Int], n_tok: Int, source: String)

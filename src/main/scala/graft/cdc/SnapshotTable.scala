@@ -68,11 +68,19 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16) {
     m
   }
 
+  /** Initialize from a change-event schema if the table does not exist
+    * yet — the shared init-on-first-write path of IngestJob, the batch
+    * writer and the streaming sink.
+    */
+  def ensureInitialized(eventSchema: StructType): Unit =
+    if (!exists) init(Model.payloadSchema(eventSchema), defaultNumBuckets)
+
   /** Atomically publish a new manifest version, with optimistic
     * concurrency (the round-2 "silent lost update" fix):
     *
-    *  - The version's manifest file is CLAIMED with an atomic
-    *    no-replace move. Committing a version at or below the PUBLISHED
+    *  - The version's manifest file is CLAIMED with an atomic hard link
+    *    (link(2) fails with EEXIST; POSIX rename(2) would silently
+    *    replace). Committing a version at or below the PUBLISHED
     *    current throws [[SnapshotTable.ConcurrentCommitException]] — the
     *    loser must re-read the table and rebase its merge (MergeEngine's
     *    pre-commit `latest.version` require is the cheap early check;
@@ -94,16 +102,21 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16) {
     Files.createDirectories(mp.getParent)
     if (currentVersion.exists(_ >= m.version))
       throw new SnapshotTable.ConcurrentCommitException(root, m.version)
-    val mtmp = rootPath.resolve(s"_manifest.tmp.${m.version}")
+    val mtmp = rootPath.resolve(s"_manifest.tmp.${m.version}.${java.util.UUID.randomUUID}")
     Files.write(mtmp, Manifest.toJson(m).getBytes(StandardCharsets.UTF_8))
-    try Files.move(mtmp, mp, StandardCopyOption.ATOMIC_MOVE)
+    // The CLAIM must be atomic-no-replace WITH full content: POSIX
+    // rename(2) silently replaces an existing target (so ATOMIC_MOVE
+    // cannot arbitrate), and CREATE_NEW writes content non-atomically. A
+    // hard link is both: link(2) fails with EEXIST if the target exists,
+    // and on success the fully-written manifest appears in one syscall.
+    try { Files.createLink(mp, mtmp); Files.delete(mtmp) }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         if (currentVersion.exists(_ >= m.version)) { // published meanwhile
           Files.deleteIfExists(mtmp)
           throw new SnapshotTable.ConcurrentCommitException(root, m.version)
         }
-        // unpublished crash orphan: reclaim atomically
+        // unpublished crash orphan: reclaim (single-writer resume path)
         Files.move(mtmp, mp, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
     if (currentVersion.forall(_ < m.version)) {

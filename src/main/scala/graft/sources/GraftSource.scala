@@ -78,12 +78,10 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       sys.error("graft sink requires a path: writeStream.format(\"graft\").option(\"path\", dir)"))
     val queryId = parameters.getOrElse("queryId", sys.error(
       "graft: fenced streaming sink requires option(\"queryId\")"))
+    val (saltBuckets, writeSplits, mergeMode) = GraftSource.mergeOpts(parameters)
     new org.apache.spark.sql.graft.GraftStreamSink(
       new SnapshotTable(path, parameters.get("numBuckets").map(_.toInt).getOrElse(16)),
-      queryId,
-      saltBuckets = parameters.get("saltBuckets").map(_.toInt).getOrElse(64),
-      writeSplits = parameters.get("writeSplits").map(_.toInt).getOrElse(4),
-      mode = parameters.getOrElse("mode", MergeEngine.ModeMor))
+      queryId, saltBuckets, writeSplits, mergeMode)
   }
 
   override def createRelation(
@@ -123,21 +121,34 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
           "the engine's exactly-once contract (re-delivered epochs are no-ops)"))
       val epochId = parameters.getOrElse("epochId", sys.error(
         "graft: fenced write requires option(\"epochId\")")).toLong
-      val cols = data.columns.map(_.toLowerCase).toSet
-      Seq("lsn", "op", "doc_id").foreach(c => require(cols.contains(c),
-        s"graft: change batch must carry '$c' (columns: ${data.columns.mkString(",")})"))
-      val events =
-        if (cols.contains("partition")) data
-        else data.withColumn("partition", lit(0))
-      if (!table.exists) {
-        val payload = StructType(events.schema.fields
-          .filterNot(f => Model.metaCols.contains(f.name.toLowerCase)))
-        table.init(payload)
-      }
-      MergeEngine.merge(sqlContext.sparkSession, table, events, queryId, epochId)
+      val events = GraftSource.prepareBatch(data)
+      table.ensureInitialized(events.schema)
+      val (saltBuckets, writeSplits, mergeMode) = GraftSource.mergeOpts(parameters)
+      MergeEngine.merge(sqlContext.sparkSession, table, events, queryId, epochId,
+        saltBuckets = saltBuckets, writeSplits = writeSplits, mode = mergeMode)
     }
     GraftRelation(sqlContext, table, version = None)
   }
+}
+
+object GraftSource {
+
+  /** Change-batch contract shared by the batch writer and the streaming
+    * sink: `lsn`/`op`/`doc_id` mandatory with a clear error, `partition`
+    * (source-partition lineage) defaults to 0 when absent.
+    */
+  def prepareBatch(df: DataFrame): DataFrame = {
+    val cols = df.columns.map(_.toLowerCase).toSet
+    Seq("lsn", "op", "doc_id").foreach(c => require(cols.contains(c),
+      s"graft: change batch must carry '$c' (columns: ${df.columns.mkString(",")})"))
+    if (cols.contains("partition")) df else df.withColumn("partition", lit(0))
+  }
+
+  /** Merge tunables from writer options — one parse for both APIs. */
+  def mergeOpts(parameters: Map[String, String]): (Int, Int, String) = (
+    parameters.get("saltBuckets").map(_.toInt).getOrElse(64),
+    parameters.get("writeSplits").map(_.toInt).getOrElse(4),
+    parameters.getOrElse("mode", MergeEngine.ModeMor))
 }
 
 case class GraftRelation(

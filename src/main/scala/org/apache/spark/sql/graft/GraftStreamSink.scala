@@ -26,13 +26,9 @@ class GraftStreamSink(table: SnapshotTable, queryId: String,
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     val ds = data.asInstanceOf[classic.Dataset[Row]]
     val spark = ds.sparkSession
-    val fresh = spark.internalCreateDataFrame(
-      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
-    if (!table.exists) {
-      val payload = StructType(fresh.schema.fields
-        .filterNot(f => Model.metaCols.contains(f.name.toLowerCase)))
-      table.init(payload)
-    }
+    val fresh = graft.sources.GraftSource.prepareBatch(spark.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false))
+    table.ensureInitialized(fresh.schema)
     MergeEngine.merge(spark, table, fresh, queryId, batchId,
       saltBuckets = saltBuckets, writeSplits = writeSplits, mode = mode)
     ()

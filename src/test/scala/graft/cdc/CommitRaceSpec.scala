@@ -41,6 +41,19 @@ class CommitRaceSpec extends SparkSpec {
     assert(t.manifest.get.fences("l") == 99L)
   }
 
+  test("claim primitive: hard-link creation fails atomically on an existing target") {
+    // The platform assumption the arbiter rests on: link(2) is
+    // no-replace (EEXIST), unlike rename(2) which silently replaces — an
+    // ATOMIC_MOVE-based claim would be dead code on POSIX.
+    val d = tmpDir("claim")
+    val a = d.resolve("a"); val b = d.resolve("b"); val t = d.resolve("t")
+    Files.write(a, "x".getBytes(StandardCharsets.UTF_8))
+    Files.write(b, "y".getBytes(StandardCharsets.UTF_8))
+    Files.createLink(t, a)
+    intercept[java.nio.file.FileAlreadyExistsException] { Files.createLink(t, b) }
+    assert(new String(Files.readAllBytes(t), StandardCharsets.UTF_8) == "x")
+  }
+
   test("unpublished crash orphan is reclaimed; pointer never regresses") {
     val t = freshTable()
     // simulate a writer that died between claim and publish: v1 manifest
