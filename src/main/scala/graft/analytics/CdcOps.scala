@@ -131,15 +131,17 @@ object CdcOps extends QueryPack {
       s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
       val work = Files.createTempDirectory("graft-sinkq61").toString
       val tableDir = s"$work/table"
+      // persist across the epoch loop: each epoch would otherwise re-run
+      // the full tokenize-and-derive pipeline (5× the changelog cost)
       val log = {
         val full = changelog(s, dir)
         full.filter(IngestJob.validExpr(full))
-      }
-      epochBatches(s, dir, log).foreach { case (k, batch) =>
+      }.persist()
+      try epochBatches(s, dir, log).foreach { case (k, batch) =>
         batch.write.format("graft")
           .option("queryId", "writer-api").option("epochId", k)
           .mode(org.apache.spark.sql.SaveMode.Append).save(tableDir)
-      }
+      } finally log.unpersist()
       work
     }
 
@@ -150,11 +152,12 @@ object CdcOps extends QueryPack {
       val logDir = Paths.get(s"$work/log")
       Files.createDirectories(logDir)
       val t0 = System.currentTimeMillis()
-      epochBatches(s, dir, changelog(s, dir)).foreach { case (k, batch) =>
+      val log = changelog(s, dir).persist()
+      try epochBatches(s, dir, log).foreach { case (k, batch) =>
         ChangelogGen.writeSingleFile(
           batch.orderBy("lsn"), logDir, f"chunk-$k%05d.parquet",
           Some(t0 + k * 1000L))
-      }
+      } finally log.unpersist()
       val table = IngestJob.replay(s, IngestJob.Config(
         logDir = logDir.toString,
         tableDir = s"$work/table",
