@@ -169,5 +169,17 @@ class GraftSourceSpec extends SparkSpec {
         .option("queryId", "api").option("epochId", 2)
         .mode(SaveMode.Overwrite).save(dir)
     }
+
+    // additive schema evolution through the writer API: a later epoch
+    // brings a new column; the table widens and earlier rows null-fill
+    Seq((6L, "I", "c", Seq(4, 5), 2, "web", "en"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source", "lang")
+      .write.format("graft").option("queryId", "api").option("epochId", 2)
+      .mode(SaveMode.Append).save(dir)
+    val evolved = spark.read.format("graft").load(dir)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(evolved == Map("a" -> None, "c" -> Some("en")),
+      s"schema evolution through the writer diverged: $evolved")
   }
 }
