@@ -39,7 +39,16 @@ object SparkEntry {
     */
   def selectedQueries: Map[String, (SparkSession, String) => DataFrame] = {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    queries.filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    val selected = queries.filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    // A leaked filter must never silently narrow a gate run: announce it
+    // loudly on stderr every time it is active.
+    only.foreach { prefixes =>
+      System.err.println(
+        s"[graft] SPARK_GRAFT_ONLY=${prefixes.mkString(",")} ACTIVE — " +
+          s"running ${selected.size}/${queries.size} queries (dev filter; " +
+          "unset for gate/driver runs)")
+    }
+    selected
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -138,10 +138,15 @@ object CurationOps extends QueryPack {
     // subset of the sample — the property training-mix rebuilds rely on.
     "q57_stratified_sample" -> { (s, dir) =>
       import s.implicits._
-      val srcNum = regexp_extract($"source", "([0-9]+)$", 1).cast("int")
+      // Source class: numeric suffix mod 4, with an EXPLICIT defined
+      // default (-1 → head threshold) for sources without one — so the
+      // engine and the DuckDB oracle (TRY_CAST + COALESCE) agree on any
+      // fixture, instead of one erroring while the other null-falls-back.
+      val srcClass = coalesce(
+        regexp_extract($"source", "([0-9]+)$", 1).cast("int") % 4, lit(-1))
       val thresh = SampleThresholds.tail.foldLeft(
         lit(SampleThresholds.head._2)) { case (acc, (m, t)) =>
-        when(srcNum % 4 === m, t).otherwise(acc)
+        when(srcClass === m, t).otherwise(acc)
       }
       Tables.load(s, dir, "documents")
         .select($"doc_id", $"source", $"n_chars",
@@ -246,7 +251,7 @@ object CurationOps extends QueryPack {
       val u32 = XHash.duckHash32("CAST(doc_id AS VARCHAR)", "smp")
       val thresh = SampleThresholds.tail.foldLeft(
         SampleThresholds.head._2.toString) { case (acc, (m, t)) =>
-        s"(CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INTEGER) % 4 = $m THEN $t ELSE $acc END)"
+        s"(CASE WHEN COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INTEGER) % 4, -1) = $m THEN $t ELSE $acc END)"
       }
       s"""SELECT doc_id, source, n_chars, u32,
          |  CAST(keep_below AS DOUBLE) / 4294967296.0 AS target_rate

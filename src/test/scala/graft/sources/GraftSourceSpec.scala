@@ -128,6 +128,40 @@ class GraftSourceSpec extends SparkSpec {
     assert(fences.get("ssink").exists(_ >= 3), fences.toString)
   }
 
+  test("streaming sink: fresh checkpoint + reused queryId fails loudly, not as silent no-ops") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    // a table whose 'lane1' fence is already well ahead (epoch 5)
+    val dir = tmpDir("gss-fence").resolve("t").toString
+    Seq((1L, "I", "a", Seq(1), 1, "web"))
+      .toDF("lsn", "op", "doc_id", "tokens", "n_tok", "source")
+      .write.format("graft").option("queryId", "lane1").option("epochId", 5)
+      .mode(SaveMode.Append).save(dir)
+
+    // restarting 'lane1' with a FRESH checkpoint resets batchId to 0 —
+    // below the stored fence, every batch would silently no-op. The sink
+    // must fail the query instead of dropping data.
+    val logDir = tmpDir("gss-fence-log")
+    ChangelogGen.writeLog(spark,
+      ChangelogGen.Config(numEvents = 100, numDocs = 20, numFiles = 1), logDir.toString)
+    val q = spark.readStream.schema(Model.changeEventSchema)
+      .parquet(logDir.toString)
+      .writeStream.format("graft")
+      .option("path", dir).option("queryId", "lane1")
+      .option("checkpointLocation", tmpDir("gss-fence-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("below the committed fence")),
+      s"expected the fence guard to fire, got: ${messages(e).mkString(" | ")}")
+    // and the table state is untouched
+    assert(spark.read.format("graft").load(dir).count() == 1)
+  }
+
   test("write path: fenced change-batch append creates, merges, and fences") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
