@@ -26,8 +26,10 @@ object FileStats {
   private def entry(conf: org.apache.hadoop.conf.Configuration, path: String,
       bucket: Int, schemaId: Int): FileEntry = {
     {
-      val (rows, minLsn, maxLsn, bLo, bHi) = Try {
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(path), conf))
+      val (rows, minLsn, maxLsn, bLo, bHi, bytes) = Try {
+        val inputFile = HadoopInputFile.fromPath(new HPath(path), conf)
+        val fileBytes = inputFile.getLength
+        val reader = ParquetFileReader.open(inputFile)
         try {
           val blocks = reader.getFooter.getBlocks.asScala
           val rows = blocks.map(_.getRowCount).sum
@@ -50,14 +52,15 @@ object FileStats {
             if (mins.nonEmpty) mins.min else Long.MinValue,
             if (maxs.nonEmpty) maxs.max else Long.MaxValue,
             if (bLos.nonEmpty) bLos.min else -1,
-            if (bHis.nonEmpty) bHis.max else -1)
+            if (bHis.nonEmpty) bHis.max else -1,
+            fileBytes)
         } finally reader.close()
-      }.getOrElse((-1L, Long.MinValue, Long.MaxValue, -1, -1))
+      }.getOrElse((-1L, Long.MinValue, Long.MaxValue, -1, -1, 0L))
       val (lo, hi) =
         if (bLo >= 0) (bLo, bHi)
         else if (bucket >= 0) (bucket, bucket)
         else (0, Int.MaxValue)
-      FileEntry(path, bucket, schemaId, minLsn, maxLsn, rows, FileEntry.Base, lo, hi)
+      FileEntry(path, bucket, schemaId, minLsn, maxLsn, rows, FileEntry.Base, lo, hi, bytes)
     }
   }
 }

@@ -46,7 +46,8 @@ object IngestJob {
       saltBuckets: Int = 64,
       mode: String = MergeEngine.ModeMor,
       writeSplits: Int = 4,
-      compactEvery: Int = 8)
+      compaction: CompactionPolicy = CompactionPolicy(),
+      persistBatches: Boolean = true)
 
   /** Row-level validity predicate — the reference's ON_ERROR='CONTINUE'
     * COPY tolerance (nyc_taxi_sync_dag.py:47) and pydantic wire validation
@@ -81,20 +82,37 @@ object IngestJob {
     val stream = reader.parquet(cfg.logDir)
 
     val applyBatch: (Dataset[Row], Long) => Unit = { (batch, epochId) =>
-      val valid = batch.filter(validExpr(batch))
-      cfg.quarantineDir.foreach { qd =>
-        // Epoch-suffixed dir: a replayed epoch overwrites its own quarantine
-        // output instead of double-appending (idempotent side channel).
-        batch.filter(!validExpr(batch))
-          .write.mode("overwrite").parquet(s"$qd/epoch=$epochId")
-      }
-      MergeEngine.merge(spark, table, valid, cfg.queryId, epochId,
-        saltBuckets = cfg.saltBuckets, writeSplits = cfg.writeSplits, mode = cfg.mode)
-      // amortized maintenance: fold delta files back into base every K
-      // epochs (lineage is untouched, so timing is free to choose)
-      if (cfg.mode == MergeEngine.ModeMor && cfg.compactEvery > 0 &&
-          (epochId + 1) % cfg.compactEvery == 0) {
-        MergeEngine.compact(spark, table, cfg.writeSplits)
+      // foreachBatch hands over an RDD-backed frame (LogicalRDD wrapping
+      // the executed source scan), NOT a catalyst file relation: column
+      // pruning/pushdown cannot reach the source through it, and every
+      // action recomputes the full file read. One epoch runs 2 actions
+      // (merge's stats job + the delta/COW write) plus, with quarantine
+      // enabled, a third (the invalid complement) — so persist the batch
+      // once and let every sink read the columnar cache instead of paying
+      // 2-3× source I/O per epoch. At a 10^10-event log the source
+      // re-read, not the local cache spill, is the expensive side.
+      val src = if (cfg.persistBatches) batch.persist() else batch
+      try {
+        val valid = src.filter(validExpr(src))
+        cfg.quarantineDir.foreach { qd =>
+          // Epoch-suffixed dir: a replayed epoch overwrites its own quarantine
+          // output instead of double-appending (idempotent side channel).
+          src.filter(!validExpr(src))
+            .write.mode("overwrite").parquet(s"$qd/epoch=$epochId")
+        }
+        MergeEngine.merge(spark, table, valid, cfg.queryId, epochId,
+          saltBuckets = cfg.saltBuckets, writeSplits = cfg.writeSplits, mode = cfg.mode)
+        // amortized maintenance: fold delta files back into base on a
+        // SIZE-based trigger (delta bytes / file count per bucket), not a
+        // fixed epoch counter — see [[CompactionPolicy]]. Lineage is
+        // untouched, so timing is free to choose.
+        if (cfg.mode == MergeEngine.ModeMor &&
+            cfg.compaction.shouldCompact(table, epochId)) {
+          MergeEngine.compact(spark, table, cfg.writeSplits,
+            targetFileBytes = cfg.compaction.targetFileBytes)
+        }
+      } finally {
+        if (cfg.persistBatches) src.unpersist()
       }
       ()
     }

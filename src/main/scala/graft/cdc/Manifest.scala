@@ -23,7 +23,11 @@ case class FileEntry(
     rows: Long,
     kind: String,
     bucketLo: Int = 0,
-    bucketHi: Int = Int.MaxValue) {
+    bucketHi: Int = Int.MaxValue,
+    // On-disk size; drives the size-based compaction trigger and the
+    // target-file-size estimate on rewrite. 0 = unknown (pre-round-4
+    // manifest) — consumers must fall back to count-based heuristics.
+    bytes: Long = 0L) {
   def isDelta: Boolean = kind == FileEntry.Delta
 
   /** Buckets this file may contain rows of (conservative for deltas). */

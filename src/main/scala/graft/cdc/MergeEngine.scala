@@ -256,7 +256,8 @@ object MergeEngine {
   def compact(
       spark: SparkSession,
       table: SnapshotTable,
-      writeSplits: Int = 4): Option[Long] = {
+      writeSplits: Int = 4,
+      targetFileBytes: Long = 128L << 20): Option[Long] = {
     val m = table.manifest.getOrElse(sys.error(s"table not initialized: ${table.root}"))
     val deltas = m.files.filter(_.isDelta)
     if (deltas.isEmpty) return None
@@ -275,8 +276,22 @@ object MergeEngine {
 
     val newVersion = m.version + 1
     val outDir = table.dataDir(newVersion)
+    // Target-size splitting: estimate rows-per-file from the affected
+    // entries' observed bytes/row (footer metadata recorded at commit), so
+    // rewritten files land near `targetFileBytes` — a hardcoded row cap
+    // over- or under-shoots by the payload width (a tokens array varies
+    // 100× across sources). Entries with unknown bytes (pre-round-4
+    // manifests) are excluded from the estimate; with no estimate at all,
+    // fall back to the historical 4M-row cap.
+    val known = affected.filter(f => f.bytes > 0 && f.rows > 0)
+    val maxRecords: Long =
+      if (known.isEmpty) 4000000L
+      else {
+        val bytesPerRow = known.map(_.bytes).sum.toDouble / known.map(_.rows).sum
+        math.max(1L, (targetFileBytes / bytesPerRow).toLong)
+      }
     timed("compact-write")(out.write
-      .option("maxRecordsPerFile", 4000000)
+      .option("maxRecordsPerFile", maxRecords)
       .partitionBy("_bucket")
       .mode("overwrite")
       .parquet(outDir.toString))

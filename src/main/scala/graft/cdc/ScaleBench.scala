@@ -133,7 +133,7 @@ object ScaleBench {
       IngestJob.replay(warm, IngestJob.Config(
         logDir = s"$work/warmlog", tableDir = s"$work/warmtable",
         checkpointDir = s"$work/warmckpt", maxFilesPerTrigger = Some(perTrigger),
-        numBuckets = 32, compactEvery = 2, queryId = "warmup"))
+        numBuckets = 32, compaction = CompactionPolicy.counter(2), queryId = "warmup"))
       MergeEngine.compact(warm, new SnapshotTable(s"$work/warmtable", 32))
       warm.stop()
     }
@@ -164,7 +164,7 @@ object ScaleBench {
           checkpointDir = s"$work/ckpt-$c-$runId",
           maxFilesPerTrigger = Some(perTrigger),
           numBuckets = 32,
-          compactEvery = 2,
+          compaction = CompactionPolicy.counter(2),
           queryId = s"scale-$c"))
         // end-to-end honesty: the timed window ends with a fully
         // compacted (base-only) table, so no reconcile work is deferred

@@ -22,7 +22,7 @@ class ReplayEqualitySpec extends SparkSpec {
         checkpointDir = tmpDir(s"ckpt-$mode").toString,
         maxFilesPerTrigger = Some(2), // several epochs, not one
         mode = mode,
-        compactEvery = 3)) // exercise mid-stream compaction in MOR
+        compaction = CompactionPolicy.counter(3))) // exercise mid-stream compaction in MOR
 
       val got = table.read(spark)
       assert(got.columns.toSeq == Seq("doc_id", "tokens", "n_tok", "source"))
