@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.LongArrayDot
+import graft.functions.{LongArrayDot, StringRollHash}
 
 /** Public extension point: registers graft's native Catalyst expressions
   * with the session's function registry so SQL-text users can call them
@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "long_array_dot(a, b) takes exactly 2 arguments")
         LongArrayDot(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("string_roll_hash"),
+      new ExpressionInfo(classOf[StringRollHash].getName, "string_roll_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "string_roll_hash(text) takes exactly 1 argument")
+        StringRollHash(children.head)
       }))
   }
 }

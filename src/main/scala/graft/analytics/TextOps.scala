@@ -84,15 +84,16 @@ object TextOps extends QueryPack {
 
     "q34_fingerprint" -> { (s, dir) =>
       import s.implicits._
-      // position-weighted rolling checksum over characters (mod prime) +
-      // first/last word-hash anchors — a cheap shift-sensitive fingerprint
+      // position-weighted rolling checksum over characters (mod prime) —
+      // a cheap shift-sensitive fingerprint. Codegen'd custom expression
+      // (graft.functions.StringRollHash): the HOF formulation it replaces
+      // materialized two O(len) arrays per row interpreted, the exact
+      // CodegenFallback pattern ArrayDot.scala bans on the ANN path.
       // mod once at the end == mod at each step; the plain sum fits a
-      // long (max ~2.8e13 for multi-KB docs)
-      val chars = split($"text", "")
-      val weighted = aggregate(
-        zip_with(chars, sequence(lit(1), length($"text")),
-          (c, i) => ascii(c).cast("long") * i.cast("long")),
-        lit(0L), (acc, x) => acc + x) % 1000000007L
+      // long (max ~2.8e13 for multi-KB docs). Empty text → null, matching
+      // the DuckDB oracle (list_sum of an empty list is NULL).
+      val weighted = when(length($"text") > 0,
+        graft.functions.RollHash.rollHash($"text") % 1000000007L)
       Tables.load(s, dir, "documents")
         .select(
           $"doc_id",

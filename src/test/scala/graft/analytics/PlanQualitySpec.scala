@@ -94,6 +94,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(400))
   }
 
+  test("q34 fingerprint: roll hash is codegen'd, no HOF fallback in the scan span") {
+    // AQE prints no codegen markers before finalization — disable it for
+    // the static codegen inspection only (same caveat as the q21 test)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      graft.SparkEntry.queries("q34_fingerprint")(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the custom expression replaced the aggregate(zip_with(...)) chain —
+    // no interpreted higher-order functions left in the plan…
+    assert(p.contains("string_roll_hash"), p.take(800))
+    assert(!p.contains("zip_with") && !p.contains("aggregate("), p.take(800))
+    // …and the project computing it sits inside a WholeStageCodegen span
+    // ("* Project" + a codegen id in formatted mode)
+    val starred = p.linesIterator.exists(l => l.contains("* Project"))
+    val fused = "\\(\\d+\\) Project \\[codegen id".r.findFirstIn(p).isDefined
+    assert(starred && fused, s"roll-hash project not fused into codegen:\n${p.take(1500)}")
+  }
+
   test("q52 embedding near-dup: LSH candidate join is an equi-join, never all-pairs") {
     // inspect the UN-cached pair plan — the memoized query only shows an
     // InMemoryTableScan over it
