@@ -82,7 +82,12 @@ case class Manifest(
     files: Seq[FileEntry],
     fences: Map[String, Long],
     watermarks: Map[String, Long],
-    metrics: Seq[EpochMetrics]) {
+    metrics: Seq[EpochMetrics],
+    // Lease identity of the writer that produced this manifest, stamped
+    // by SnapshotTable.commit. On a claim conflict at an UNPUBLISHED
+    // version it distinguishes "my own earlier claim" (resumable) from a
+    // possibly-live foreign claimant (reclaim gated on claim age).
+    writerId: String = "") {
   def currentSchemaJson: String = schemas.last
 }
 
@@ -122,6 +127,7 @@ object Manifest {
     }
     m.copy(
       fences = longMap("fences"), watermarks = longMap("watermarks"),
-      files = patchedFiles)
+      files = patchedFiles,
+      writerId = Option(m.writerId).getOrElse("")) // pre-lease manifests
   }
 }

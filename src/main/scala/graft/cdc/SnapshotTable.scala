@@ -32,8 +32,15 @@ import org.apache.spark.sql.types._
   * run thousands of buckets so a MERGE touches only the buckets its keys
   * hash to; locally we default to 16.
   */
-class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16) {
+class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
+    val orphanClaimTtlMs: Long = SnapshotTable.DefaultOrphanClaimTtlMs) {
   private val rootPath: Path = Paths.get(root)
+
+  /** Lease identity of this table handle as a writer: stamped into every
+    * manifest this handle commits, so a claim conflict can tell "my own
+    * earlier claim" from a foreign one.
+    */
+  val writerId: String = java.util.UUID.randomUUID().toString
   private def currentPtr: Path = rootPath.resolve("_current")
   private def manifestPath(v: Long): Path = rootPath.resolve(s"manifests/v$v.json")
   def dataDir(v: Long): Path = rootPath.resolve(s"data/v$v")
@@ -86,18 +93,23 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16) {
     *    pre-commit `latest.version` require is the cheap early check;
     *    this is the race-free arbiter for completed commits).
     *  - An EXISTING but UNPUBLISHED claim (manifest file present, pointer
-    *    still behind) is a crash orphan — a writer died between claim and
-    *    publish. The engine's fenced streaming writer is the only
-    *    component that can resume into that state, so the orphan is
-    *    atomically replaced and the commit proceeds (epoch fences make
-    *    the re-applied merge equivalent). Two LIVE writers racing the
-    *    same unpublished version remain the documented single-writer
-    *    assumption (as with a filesystem-catalog Iceberg table, a true
-    *    multi-writer deployment arbitrates through a locking catalog).
-    *  - The current pointer only ever advances, so a slow winner of vN
-    *    can never clobber a published vN+1.
+    *    still behind) is reclaimed only from a provably-not-live
+    *    claimant: either the claim carries THIS handle's [[writerId]]
+    *    (our own earlier attempt — the fenced resume path), or it is
+    *    older than [[orphanClaimTtlMs]] (a writer that died between
+    *    claim and publish; a live writer publishes within moments of
+    *    claiming). A FRESH foreign claim means a live concurrent writer
+    *    is mid-publish — the commit fails with
+    *    [[SnapshotTable.ConcurrentCommitException]] instead of silently
+    *    replacing it (both "winning" was the round-3 advisory). A
+    *    crashed writer therefore blocks the version for at most the TTL;
+    *    epoch fences make the post-TTL re-commit equivalent.
+    *  - The current pointer only ever advances — verified AFTER the
+    *    swap, not just checked before it, so a regression can never go
+    *    unnoticed.
     */
-  def commit(m: Manifest): Unit = {
+  def commit(m0: Manifest): Unit = {
+    val m = m0.copy(writerId = writerId)
     val mp = manifestPath(m.version)
     Files.createDirectories(mp.getParent)
     if (currentVersion.exists(_ >= m.version))
@@ -116,13 +128,31 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16) {
           Files.deleteIfExists(mtmp)
           throw new SnapshotTable.ConcurrentCommitException(root, m.version)
         }
-        // unpublished crash orphan: reclaim (single-writer resume path)
+        val claimant = scala.util.Try(Manifest.fromJson(
+          new String(Files.readAllBytes(mp), StandardCharsets.UTF_8)).writerId).getOrElse("")
+        val ageMs = scala.util.Try(
+          System.currentTimeMillis - Files.getLastModifiedTime(mp).toMillis).getOrElse(Long.MaxValue)
+        val resumable = (claimant.nonEmpty && claimant == writerId) || ageMs >= orphanClaimTtlMs
+        if (!resumable) {
+          Files.deleteIfExists(mtmp)
+          throw new SnapshotTable.ConcurrentCommitException(root, m.version,
+            s" (an unpublished claim by writer '$claimant' is only ${ageMs}ms old — " +
+              s"a live writer may be mid-publish; reclaim opens after ${orphanClaimTtlMs}ms)")
+        }
         Files.move(mtmp, mp, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
     if (currentVersion.forall(_ < m.version)) {
       val tmp = rootPath.resolve(s"_current.tmp.${m.version}")
       Files.write(tmp, m.version.toString.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // Post-swap verification: the claim serializes writers per version
+      // and versions are linear, so the pointer we observe now must be at
+      // or beyond what we just published. Anything else is a protocol
+      // violation (e.g. an out-of-band rollback racing this commit) that
+      // must surface, not silently lose this commit.
+      val observed = currentVersion
+      require(observed.exists(_ >= m.version),
+        s"current pointer regressed at $root: observed $observed after publishing v${m.version}")
     }
   }
 
@@ -306,12 +336,18 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16) {
 
 object SnapshotTable {
 
+  /** Default age an unpublished foreign claim must reach before it is
+    * treated as a crash orphan and reclaimed. Claim→publish is a
+    * two-file-write window, so a minute of silence is conclusive.
+    */
+  val DefaultOrphanClaimTtlMs: Long = 60000L
+
   /** Another writer committed this version first (optimistic-concurrency
     * loss): re-read the table and rebase the merge onto the new current.
     */
-  final class ConcurrentCommitException(root: String, version: Long)
+  final class ConcurrentCommitException(root: String, version: Long, detail: String = "")
     extends RuntimeException(
-      s"concurrent commit lost at $root: v$version already exists — rebase onto the current manifest")
+      s"concurrent commit lost at $root: v$version already exists — rebase onto the current manifest$detail")
 
   /** Projection list that casts/pads a source schema onto `target`:
     * case-insensitive resolution, missing columns null-filled, numeric

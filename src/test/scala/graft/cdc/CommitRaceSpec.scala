@@ -54,13 +54,16 @@ class CommitRaceSpec extends SparkSpec {
     assert(new String(Files.readAllBytes(t), StandardCharsets.UTF_8) == "x")
   }
 
-  test("unpublished crash orphan is reclaimed; pointer never regresses") {
+  test("unpublished DEAD claim (older than the TTL) is reclaimed; pointer never regresses") {
     val t = freshTable()
     // simulate a writer that died between claim and publish: v1 manifest
-    // exists on disk but the pointer still says v0
-    val orphan = manifestV(t, 1L).copy(fences = Map("dead" -> 1L))
+    // exists on disk with a foreign writerId, the pointer still says v0,
+    // and the claim is old enough to be provably dead
+    val orphan = manifestV(t, 1L).copy(fences = Map("dead" -> 1L), writerId = "dead-writer")
     val mp = Paths.get(t.root, "manifests", "v1.json")
     Files.write(mp, Manifest.toJson(orphan).getBytes(StandardCharsets.UTF_8))
+    Files.setLastModifiedTime(mp, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis - 2 * t.orphanClaimTtlMs))
     assert(t.currentVersion.contains(0L))
 
     // the resumed (fenced) writer re-commits v1 with its recomputed state
@@ -74,5 +77,38 @@ class CommitRaceSpec extends SparkSpec {
       t.commit(manifestV(t, 1L).copy(fences = Map("stale" -> 7L)))
     }
     assert(t.manifest.get.fences == Map("resumed" -> 1L))
+  }
+
+  test("unpublished FRESH foreign claim is a live writer: commit fails instead of replacing it") {
+    // the round-3 advisory: without the lease check, two live writers at
+    // the same unpublished version both "won" (the second silently
+    // replaced the first's claim)
+    val t = freshTable()
+    val claim = manifestV(t, 1L).copy(fences = Map("live" -> 1L), writerId = "other-live-writer")
+    val mp = Paths.get(t.root, "manifests", "v1.json")
+    Files.write(mp, Manifest.toJson(claim).getBytes(StandardCharsets.UTF_8))
+
+    val e = intercept[SnapshotTable.ConcurrentCommitException] {
+      t.commit(manifestV(t, 1L).copy(fences = Map("me" -> 1L)))
+    }
+    assert(e.getMessage.contains("may be mid-publish"), e.getMessage)
+    // the live claimant's manifest is untouched and can still publish
+    assert(Manifest.fromJson(new String(Files.readAllBytes(mp),
+      StandardCharsets.UTF_8)).fences == Map("live" -> 1L))
+    assert(t.currentVersion.contains(0L))
+  }
+
+  test("a writer's OWN fresh unpublished claim is resumable regardless of age") {
+    val t = freshTable()
+    // this handle claims v1 but "crashes" before publish: simulate by
+    // writing the claim with this handle's writerId, pointer untouched
+    val mine = manifestV(t, 1L).copy(fences = Map("mine" -> 1L), writerId = t.writerId)
+    val mp = Paths.get(t.root, "manifests", "v1.json")
+    Files.write(mp, Manifest.toJson(mine).getBytes(StandardCharsets.UTF_8))
+
+    // same handle retries immediately (claim is seconds old) — allowed
+    t.commit(manifestV(t, 1L).copy(fences = Map("mine" -> 2L)))
+    assert(t.currentVersion.contains(1L))
+    assert(t.manifest.get.fences == Map("mine" -> 2L))
   }
 }
