@@ -184,6 +184,27 @@ object EventOps extends QueryPack {
         .orderBy("dow_sun0", "h")
     },
 
+    "q62_dow_hour_pivot" -> { (s, dir) =>
+      import s.implicits._
+      // A15's actual WIDE shape: the reference materializes a 7×24
+      // matrix, one row per weekday with a column per hour
+      // (redis_client.py:115-138); q23 keeps the long form. Deliberately
+      // conditional aggregation (count-FILTER per hour), NOT
+      // Dataset.pivot: Catalyst rewrites Pivot — even with an explicit
+      // value list — into TWO stacked aggregates (groupBy(dow, hour)
+      // then PivotFirst over dow), i.e. two shuffles. The 24 fixed
+      // conditional counts express the same matrix in ONE map-side-
+      // combinable hash aggregation, so the wide shape costs exactly the
+      // long q23's single shuffle at any scale. Empty cells are 0
+      // (count of an empty set), matching the reference's zeroed matrix.
+      val aggs = (0 until 24).map(h =>
+        count(when(hour($"ts") === h, 1)).as(s"h$h"))
+      Tables.load(s, dir, "events")
+        .groupBy((dayofweek($"ts") - 1).as("dow_sun0"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("dow_sun0")
+    },
+
     "q24_ring_buffer" -> { (s, dir) =>
       import s.implicits._
       // latest-100 retention (LPUSH+LTRIM analog, fraud_detector.py:74-78,
@@ -317,6 +338,13 @@ object EventOps extends QueryPack {
     "q23_dow_hour_matrix" ->
       """SELECT dayofweek(ts) AS dow_sun0, hour(ts) AS h, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q62_dow_hour_pivot" -> {
+      val cells = (0 until 24)
+        .map(h => s"count(*) FILTER (WHERE hour(ts) = $h) AS h$h")
+        .mkString(", ")
+      s"SELECT dayofweek(ts) AS dow_sun0, $cells FROM events GROUP BY 1 ORDER BY 1"
+    },
 
     "q24_ring_buffer" ->
       """SELECT event_id, ts, event_type, value FROM events

@@ -114,6 +114,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(starred && fused, s"roll-hash project not fused into codegen:\n${p.take(1500)}")
   }
 
+  test("q62 wide pivot: one agg shuffle plus the output sort only") {
+    // conditional aggregation (not Dataset.pivot): the matrix is
+    // built by a single hash aggregation — the wide shape costs the same
+    // one shuffle as the long q23 at any scale
+    val df = graft.SparkEntry.queries("q62_dow_hour_pivot")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected agg shuffle + sort only, got $exchanges exchanges\n${p.take(1200)}")
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
+
   test("q52 embedding near-dup: LSH candidate join is an equi-join, never all-pairs") {
     // inspect the UN-cached pair plan — the memoized query only shows an
     // InMemoryTableScan over it
