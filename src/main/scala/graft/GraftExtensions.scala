@@ -30,5 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "string_roll_hash(text) takes exactly 1 argument")
         StringRollHash(children.head)
       }))
+    // format("graft") fast path: replace the V1 RDD[Row] relation with
+    // the engine's own parquet read plan (no Row round-trip, fused
+    // codegen), keeping the _lsn-floor manifest pushdown. Sessions
+    // without the extension fall back to the V1 scan unchanged.
+    ext.injectOptimizerRule(session => graft.plans.GraftRelationSubstitution(session))
   }
 }

@@ -18,10 +18,17 @@ import graft.cdc.{MergeEngine, Model, SnapshotTable}
   *   spark.read.format("graft").load(p).filter($"_lsn" >= x)    // changed-since
   * }}}
   *
-  * Built on the V1 `PrunedFilteredScan` contract (stable public API; the
-  * engine needs no custom per-file reader — the scan delegates to the
-  * engine's manifest-resolved parquet read, so MOR delta reconcile,
-  * schema-evolution conformance and bucket pruning all apply):
+  * Two-tier read path:
+  *
+  *   - With [[graft.GraftExtensions]] active (the recommended setup), the
+  *     [[graft.plans.GraftRelationSubstitution]] optimizer rule replaces
+  *     this relation with the engine's own parquet read plan — columnar
+  *     scans, fused whole-stage codegen, no InternalRow→Row→InternalRow
+  *     wall — while keeping the `_lsn`-floor manifest pushdown.
+  *   - Without the extension, the V1 `PrunedFilteredScan` below is the
+  *     fallback (stable public API; the scan delegates to the engine's
+  *     manifest-resolved read, so MOR delta reconcile, schema-evolution
+  *     conformance and bucket pruning all still apply):
   *
   *   - **Column pruning**: `requiredColumns` propagates into the parquet
   *     scan's ReadSchema via the delegated plan.

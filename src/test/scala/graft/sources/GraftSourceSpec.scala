@@ -33,7 +33,7 @@ class GraftSourceSpec extends SparkSpec {
       s"source read diverges: ${a.length} vs ${b.length} rows")
   }
 
-  test("_lsn floor filter equals readBuckets and is pushed, not residual") {
+  test("_lsn floor filter equals readBuckets and reaches the parquet scan") {
     import spark.implicits._
     val floor = 3000L
     val viaFilter = viaSource.filter($"${Model.LsnCol}" >= floor)
@@ -42,12 +42,28 @@ class GraftSourceSpec extends SparkSpec {
     val got = viaFilter.orderBy("doc_id").collect()
     assert(got.sameElements(expected), s"${got.length} vs ${expected.length} rows")
 
+    // under the substitution rule the relation becomes the engine's own
+    // parquet plan; the floor must still be pushed into the file scans
+    // (manifest-level file skip is asserted separately below)
     val plan = viaFilter.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(_lsn"),
-      s"floor not pushed to the relation:\n$plan")
-    // the floor is declared handled: Spark must not re-apply it
-    val residual = "Filter .*_lsn".r.findFirstIn(plan)
-    assert(residual.isEmpty, s"floor re-applied by Spark despite handled declaration:\n$plan")
+      s"floor not pushed into the parquet scans:\n$plan")
+  }
+
+  test("no Row round-trip: the read plan is the engine's parquet plan, not an RDD[Row] scan") {
+    // the round-3 perf-weak item: V1 PrunedFilteredScan forced every row
+    // through an InternalRow→Row→InternalRow wall. With GraftExtensions
+    // the optimizer substitutes the library read plan, so the executed
+    // plan must show parquet file scans and no V1 row-relation scan.
+    Seq(viaSource, viaSource.select("doc_id", "n_tok"),
+        viaSource.filter(col(Model.LsnCol) >= 3000L)).foreach { df =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("FileScan parquet") || plan.contains("Scan parquet"),
+        s"no parquet scan in the substituted plan:\n$plan")
+      assert(!plan.contains("GraftRelation") && !plan.contains("Scan ExistingRDD"),
+        s"RDD[Row] source boundary still present:\n$plan")
+    }
   }
 
   test("column pruning reaches the parquet ReadSchema through the source") {
