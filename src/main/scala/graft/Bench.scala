@@ -78,6 +78,15 @@ object Bench {
         }
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$passes,"agg":"min","queries":$qs,"sf":"$sfDir"$scaling}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$passes,"agg":"min","queries":$qs,"sf":"$sfDir"$scaling}"""
+    // The artifact must survive whole (round-3's BENCH json was captured
+    // as a truncated stdout tail → "parsed": null): write the full JSON
+    // to a file alongside printing the contract line.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    scala.util.Try(java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    println(json)
   }
 }

@@ -20,11 +20,25 @@ object ScaleBench {
     * efficiency and machine envelope from samples taken adjacently in
     * time (same noise window).
     */
-  final case class RoundPair(efficiency: Double, machineEnvelope: Double)
+  /** The same-window machine envelope a round must grant before its
+    * engine ratio is interpretable as a scaling measurement (a 0.4
+    * hypervisor window makes ANY engine ratio meaningless).
+    */
+  val ValidWindowEnvelope = 0.9
+
+  final case class RoundPair(efficiency: Double, machineEnvelope: Double) {
+    def windowValid: Boolean = machineEnvelope >= ValidWindowEnvelope
+  }
 
   final case class PairResult(lo: Int, hi: Int, efficiency: Double,
       machineEnvelope: Double, pooledEfficiency: Double, rounds: Seq[RoundPair]) {
     def engineVsMachine: Double = efficiency / machineEnvelope
+    /** True when the HEADLINE numbers above come from a round whose
+      * machine envelope cleared [[ValidWindowEnvelope]] — i.e. the
+      * efficiency is checkable from this artifact alone, no external
+      * noise-wave narrative needed.
+      */
+    def windowValid: Boolean = machineEnvelope >= ValidWindowEnvelope
   }
 
   final case class Series(events: Long, eps: Map[Int, Double], pairs: Seq[PairResult]) {
@@ -34,15 +48,16 @@ object ScaleBench {
         .map { case (c, e) => s""""$c":${e.round}""" }.mkString("{", ",", "}")
       val pairsJson = pairs.map { p =>
         val roundsJson = p.rounds.map(r =>
-          s"""{"eff":${r3(r.efficiency)},"env":${r3(r.machineEnvelope)}}""")
+          s"""{"eff":${r3(r.efficiency)},"env":${r3(r.machineEnvelope)},"window_valid":${r.windowValid}}""")
           .mkString("[", ",", "]")
         s"""{"cores":[${p.lo},${p.hi}],"scaling_efficiency":${r3(p.efficiency)},""" +
           s""""machine_cpu_envelope":${r3(p.machineEnvelope)},""" +
+          s""""window_valid":${p.windowValid},""" +
           s""""engine_vs_machine":${r3(p.engineVsMachine)},""" +
           s""""pooled_efficiency":${r3(p.pooledEfficiency)},""" +
           s""""rounds":$roundsJson}"""
       }.mkString("[", ",", "]")
-      s"""{"events":$events,"eps":$epsJson,"pairs":$pairsJson}"""
+      s"""{"events":$events,"valid_window_envelope":$ValidWindowEnvelope,"eps":$epsJson,"pairs":$pairsJson}"""
     }
   }
 
@@ -151,7 +166,7 @@ object ScaleBench {
     // session whose every within-round ratio was ≥0.85). The pooled
     // number is still reported for transparency, all rounds disclosed.
     val ordered = cores.sorted
-    val rounds: Seq[Map[Int, (Double, Double)]] = (1 to repeats).map { rep =>
+    def oneRound(rep: Int): Map[Int, (Double, Double)] = {
       ordered.map { c =>
         val spark = tuned(c, workBase)
         spark.sparkContext.setLogLevel("WARN")
@@ -186,6 +201,30 @@ object ScaleBench {
       }.toMap
     }
 
+    // Validity gate (round-3 verdict ask #1): the headline pair's
+    // efficiency is only checkable when the machine itself scaled ≥0.9
+    // in the SAME window — so keep running interleaved rounds (capped)
+    // until the first pair sees one such window. The gate watches only
+    // the lowest pair: on this host the widest pair's envelope is
+    // hypervisor-capped well below 0.9 at ANY time, so gating on it
+    // would always run to the cap for nothing (its evidence is
+    // engine_vs_machine, not the raw ratio).
+    val maxRounds = math.max(repeats,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_ROUNDS", "6").toInt)
+    def headlineWindowSeen(rs: Seq[Map[Int, (Double, Double)]]): Boolean =
+      ordered.lengthCompare(2) < 0 || rs.exists { r =>
+        val lo = ordered(0); val hi = ordered(1)
+        (r(hi)._2 / r(lo)._2) / (hi.toDouble / lo) >= ValidWindowEnvelope
+      }
+    var rounds: Seq[Map[Int, (Double, Double)]] = Seq.empty
+    var rep = 0
+    while (rep < repeats || (rep < maxRounds && !headlineWindowSeen(rounds))) {
+      rep += 1
+      if (rep > repeats) System.err.println(
+        s"[scale] no clean window in $repeats rounds — extending (round $rep/$maxRounds)")
+      rounds = rounds :+ oneRound(rep)
+    }
+
     val eps: Map[Int, Double] =
       ordered.map(c => c -> rounds.map(_(c)._1).max).toMap
     val pairs = ordered.sliding(2).collect { case Seq(lo, hi) =>
@@ -195,7 +234,11 @@ object ScaleBench {
           efficiency = (r(hi)._1 / r(lo)._1) / ratio,
           machineEnvelope = (r(hi)._2 / r(lo)._2) / ratio)
       }
-      val best = roundPairs.maxBy(_.efficiency)
+      // headline = best efficiency among VALID-window rounds; only when
+      // no window was clean (cap reached) fall back to all rounds, with
+      // window_valid=false flagging the number as noise-dominated
+      val validRounds = roundPairs.filter(_.windowValid)
+      val best = (if (validRounds.nonEmpty) validRounds else roundPairs).maxBy(_.efficiency)
       PairResult(lo, hi,
         efficiency = best.efficiency,
         machineEnvelope = best.machineEnvelope,
