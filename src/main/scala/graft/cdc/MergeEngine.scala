@@ -68,6 +68,11 @@ object MergeEngine {
     }
   }
 
+  /** Max automatic rebases after an optimistic-concurrency loss before
+    * the ConcurrentCommitException propagates to the caller.
+    */
+  private val MaxRebases = 8
+
   def merge(
       spark: SparkSession,
       table: SnapshotTable,
@@ -78,7 +83,22 @@ object MergeEngine {
       saltedPreDedup: Boolean = false,
       writeSplits: Int = 4,
       mode: String = ModeMor,
-      sortDeltas: Boolean = false): MergeResult = {
+      sortDeltas: Boolean = false): MergeResult =
+    mergeImpl(spark, table, events, queryId, epochId, saltBuckets,
+      saltedPreDedup, writeSplits, mode, sortDeltas, rebaseAttempt = 0)
+
+  private def mergeImpl(
+      spark: SparkSession,
+      table: SnapshotTable,
+      events: DataFrame,
+      queryId: String,
+      epochId: Long,
+      saltBuckets: Int,
+      saltedPreDedup: Boolean,
+      writeSplits: Int,
+      mode: String,
+      sortDeltas: Boolean,
+      rebaseAttempt: Int): MergeResult = {
 
     val m = table.manifest.getOrElse(sys.error(s"table not initialized: ${table.root}"))
 
@@ -120,34 +140,23 @@ object MergeEngine {
     val freshCount = eventsIn - belowWm
     val freshDeletes = freshRows.filter(_.getBoolean(3)).map(_.getLong(4)).sum
     val touched: Seq[Int] = freshRows.map(_.getInt(1)).distinct.sorted.toSeq
-    val newWatermarks: Map[String, Long] = {
-      val advanced = freshRows.groupBy(_.getInt(0))
-        .map { case (p, rows) => p.toString -> rows.map(_.getLong(5)).max }
-      m.watermarks ++ advanced.map { case (k, v) =>
+    // Per-partition LSN advances implied by THIS batch (merged against
+    // whatever manifest the commit ultimately lands on — a rebase must
+    // not regress a concurrent writer's watermarks).
+    val wmAdvances: Map[String, Long] = freshRows.groupBy(_.getInt(0))
+      .map { case (p, rows) => p.toString -> rows.map(_.getLong(5)).max }
+    val newWatermarks: Map[String, Long] =
+      m.watermarks ++ wmAdvances.map { case (k, v) =>
         k -> math.max(v, m.watermarks.getOrElse(k, Long.MinValue))
       }
-    }
-
-    def commitNext(files: Seq[FileEntry], metrics: EpochMetrics): MergeResult = {
-      val next = mPrime.copy(
-        version = m.version + 1, parentVersion = m.version,
-        files = files,
-        fences = m.fences + (queryId -> epochId),
-        watermarks = newWatermarks,
-        metrics = (m.metrics :+ metrics).takeRight(MetricsRetained))
-      // Re-check the fence immediately before publishing (defense against
-      // a concurrent replayed writer; single-writer is the contract).
-      val latest = table.manifest.get
-      require(latest.version == m.version,
-        s"concurrent writer detected at ${table.root}: v${latest.version} != v${m.version}")
-      table.commit(next)
-      MergeResult(applied = true, Some(metrics), next.version)
-    }
 
     if (touched.isEmpty) {
       // Nothing fresh: metadata-only fence/watermark advance.
-      return commitNext(m.files,
-        EpochMetrics(queryId, epochId, eventsIn, belowWm, 0, 0, 0, 0, 0))
+      return commitRebasing(table, queryId, epochId,
+        entries = Seq.empty, physicalSchema = Some(newSchema),
+        wmAdvances = wmAdvances,
+        metric = EpochMetrics(queryId, epochId, eventsIn, belowWm, 0, 0, 0, 0, 0),
+        cleanup = () => ())
     }
 
     val fresh = events.filter(col("lsn") > wmFloor)
@@ -169,7 +178,7 @@ object MergeEngine {
     } else ev0
 
     val newVersion = m.version + 1
-    val outDir = table.dataDir(newVersion)
+    val outDir = table.newDataDir(newVersion)
 
     if (mode == ModeMor) {
       // ── MOR: append the batch as delta files — ZERO shuffle ─────────
@@ -196,15 +205,21 @@ object MergeEngine {
         .parquet(outDir.toString))
 
       // bucket = -1 = "range file"; the real coverage is [bucketLo,
-      // bucketHi] from the footer stats
+      // bucketHi] from the footer stats. MOR delta files depend only on
+      // the batch (not on table contents), so a lost commit race rebases
+      // by RE-POINTING these files at a higher version — no rewrite.
       val written = table.listDataFiles(outDir)
       val newEntries = FileStats.entries(spark, written.map(p => (p, -1)), schemaId)
         .map(_.copy(kind = FileEntry.Delta))
-      commitNext(m.files ++ newEntries,
-        EpochMetrics(queryId, epochId, eventsIn, belowWm,
+      commitRebasing(table, queryId, epochId,
+        entries = newEntries, physicalSchema = Some(newSchema),
+        wmAdvances = wmAdvances,
+        metric = EpochMetrics(queryId, epochId, eventsIn, belowWm,
           collapsedInBatch = 0,
           upserts = freshCount - freshDeletes, deletes = freshDeletes,
-          rowsWritten = newEntries.map(_.rows).sum, touchedBuckets = touched.size))
+          rowsWritten = newEntries.map(_.rows).sum, touchedBuckets = touched.size),
+        cleanup = () => { val _ = scala.util.Try(
+          graft.util.Tables.deleteRecursively(outDir.toString)) })
     } else {
       // ── COW: reconcile against live rows of touched buckets. Any MOR
       // delta files present (mode switch) are consumed whole — their
@@ -238,15 +253,112 @@ object MergeEngine {
       val newEntries = FileStats.entries(spark, written, schemaId)
       val consumed = liveEntries.map(_.path).toSet
       val carried = m.files.filterNot(f => consumed.contains(f.path))
-      commitNext(carried ++ newEntries,
-        EpochMetrics(queryId, epochId, eventsIn, belowWm,
-          // staged events that did not become a final row. Accumulator-
-          // backed: exact in normal runs; lineage never relies on them.
-          collapsedInBatch = freshCount - nUpserts - nDeletes,
-          upserts = nUpserts, deletes = nDeletes,
-          rowsWritten = counters.rows.value.longValue, touchedBuckets = touched.size))
+      val metric = EpochMetrics(queryId, epochId, eventsIn, belowWm,
+        // staged events that did not become a final row. Accumulator-
+        // backed: exact in normal runs; lineage never relies on them.
+        collapsedInBatch = freshCount - nUpserts - nDeletes,
+        upserts = nUpserts, deletes = nDeletes,
+        rowsWritten = counters.rows.value.longValue, touchedBuckets = touched.size)
+      val next = mPrime.copy(
+        version = newVersion, parentVersion = m.version,
+        files = carried ++ newEntries,
+        fences = m.fences + (queryId -> epochId),
+        watermarks = newWatermarks,
+        metrics = (m.metrics :+ metric).takeRight(MetricsRetained))
+      try {
+        table.commit(next)
+        MergeResult(applied = true, Some(metric), next.version)
+      } catch {
+        case e: SnapshotTable.ConcurrentCommitException =>
+          // COW reconciled against a manifest that just changed under us:
+          // unlike MOR deltas, the rewritten buckets are stale (the racer
+          // may have merged into the very rows we read), so rebase =
+          // discard our output and REDO the whole merge on the fresh
+          // table.
+          scala.util.Try(graft.util.Tables.deleteRecursively(outDir.toString))
+          if (rebaseAttempt >= MaxRebases) throw e
+          Thread.sleep(math.min(1000L, 100L * (rebaseAttempt + 1)))
+          mergeImpl(spark, table, events, queryId, epochId, saltBuckets,
+            saltedPreDedup, writeSplits, mode, sortDeltas, rebaseAttempt + 1)
+      }
     }
   }
+
+  /** Commit with automatic REBASE (multi-writer: two live writers on
+    * distinct fence lanes both succeed; the loser re-reads and re-points).
+    * On an optimistic-concurrency loss the commit metadata — schema list,
+    * file list, fences, watermarks, metrics window — is recomputed on top
+    * of the freshly published manifest and retried. The already-written
+    * MOR delta files need no rewrite: their content depends only on the
+    * batch, rows that a racer's commit made stale are dropped by the
+    * last-LSN-wins reconcile, and watermark merges take per-partition
+    * max so nothing regresses. If the fresh manifest's fence already
+    * covers this epoch (a racer on the SAME lane applied it), the written
+    * files are orphans: `cleanup` removes them and the merge reports
+    * not-applied — exactly-once holds across writers, not just restarts.
+    */
+  private def commitRebasing(
+      table: SnapshotTable,
+      queryId: String,
+      epochId: Long,
+      entries: Seq[FileEntry],
+      physicalSchema: Option[StructType],
+      wmAdvances: Map[String, Long],
+      metric: EpochMetrics,
+      cleanup: () => Unit): MergeResult = {
+    var attempts = 0
+    while (true) {
+      val fresh = table.manifest.getOrElse(sys.error(s"table vanished: ${table.root}"))
+      if (fresh.fences.get(queryId).exists(_ >= epochId)) {
+        cleanup()
+        return MergeResult(applied = false, None, fresh.version)
+      }
+      val (schemas2, sid) = schemasWith(fresh.schemas, physicalSchema)
+      val mergedWm = fresh.watermarks ++ wmAdvances.map { case (k, v) =>
+        k -> math.max(v, fresh.watermarks.getOrElse(k, Long.MinValue))
+      }
+      val next = fresh.copy(
+        version = fresh.version + 1, parentVersion = fresh.version,
+        schemas = schemas2,
+        files = fresh.files ++ entries.map(_.copy(schemaId = sid)),
+        fences = fresh.fences + (queryId -> epochId),
+        watermarks = mergedWm,
+        metrics = (fresh.metrics :+ metric).takeRight(MetricsRetained))
+      try {
+        table.commit(next)
+        return MergeResult(applied = true, Some(metric), next.version)
+      } catch {
+        case e: SnapshotTable.ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > MaxRebases) throw e
+          // brief backoff: the racer is at most a manifest-write away
+          // from publishing (or its claim expires via the lease TTL)
+          Thread.sleep(math.min(1000L, 100L * attempts))
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Insert the written files' physical schema (and the possibly wider
+    * merged current schema) into a manifest's append-only schema list.
+    * Returns the new list and the schemaId the written files carry.
+    * Rebase-safe: computed against whatever manifest the commit attempt
+    * lands on, so a racer's own schema evolution composes additively.
+    */
+  private def schemasWith(
+      base: Seq[String], physicalSchema: Option[StructType]): (Seq[String], Int) =
+    physicalSchema match {
+      case None => (base, base.size - 1)
+      case Some(p) =>
+        val current = DataType.fromJson(base.last).asInstanceOf[StructType]
+        val merged = SnapshotTable.mergeSchemas(current, p)
+        val (withPhys, sid) = base.indexOf(p.json) match {
+          case -1 => (base :+ p.json, base.size)
+          case i => (base, i)
+        }
+        val full = if (withPhys.last == merged.json) withPhys else withPhys :+ merged.json
+        (full, sid)
+    }
 
   /** Reconcile the merge-on-read deltas of every bucket that has any into
     * fresh base files (tombstones drop out). Amortized maintenance —
@@ -275,7 +387,7 @@ object MergeEngine {
         Seq(col("lsn").as(Model.LsnCol), col("_bucket")): _*)
 
     val newVersion = m.version + 1
-    val outDir = table.dataDir(newVersion)
+    val outDir = table.newDataDir(newVersion)
     // Target-size splitting: estimate rows-per-file from the affected
     // entries' observed bytes/row (footer metadata recorded at commit), so
     // rewritten files land near `targetFileBytes` — a hardcoded row cap
@@ -303,10 +415,16 @@ object MergeEngine {
     val next = m.copy(
       version = newVersion, parentVersion = m.version,
       files = carried ++ newEntries)
-    val latest = table.manifest.get
-    require(latest.version == m.version,
-      s"concurrent writer detected at ${table.root} during compaction")
-    table.commit(next)
-    Some(newVersion)
+    try {
+      table.commit(next)
+      Some(newVersion)
+    } catch {
+      case _: SnapshotTable.ConcurrentCommitException =>
+        // Compaction is pure maintenance: losing a race costs nothing but
+        // the wasted rewrite — discard it and let the next size-policy
+        // trigger retry against the new manifest.
+        scala.util.Try(graft.util.Tables.deleteRecursively(outDir.toString))
+        None
+    }
   }
 }

@@ -45,6 +45,16 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
   private def manifestPath(v: Long): Path = rootPath.resolve(s"manifests/v$v.json")
   def dataDir(v: Long): Path = rootPath.resolve(s"data/v$v")
 
+  /** Unique output dir for a write targeting version `v`. The suffix is
+    * what makes LIVE concurrent writers possible: both racers write
+    * side-by-side instead of clobbering each other's `data/v{N+1}` (an
+    * overwrite-mode Spark write DELETES the target dir first), and the
+    * loser's rebase re-points its already-written files at a higher
+    * version. GC still recognizes the numeric version prefix.
+    */
+  def newDataDir(v: Long): Path =
+    rootPath.resolve(s"data/v$v-${java.util.UUID.randomUUID.toString.take(8)}")
+
   def exists: Boolean = Files.exists(currentPtr)
 
   def currentVersion: Option[Long] =
@@ -229,10 +239,14 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
     * leaves only orphaned data files (reclaimed by the next expire), never
     * a live manifest referencing deleted data. Data dirs numbered above
     * `_current` are skipped entirely: they belong to an in-flight writer's
-    * not-yet-committed version (the table is single-writer by design, but
-    * GC must not turn a racing commit into data loss).
+    * not-yet-committed version (GC must not turn a racing commit into data
+    * loss). With LIVE concurrent writers a rebasing loser's dir can carry
+    * a numeric prefix at or below `_current` while its commit is still in
+    * flight — pass `minAgeMs` (≥ the claim TTL is a sound choice) so GC
+    * only deletes unreferenced files older than that window.
     */
-  def expireSnapshots(keepLast: Int = 1): (Int, Int) = {
+  def expireSnapshots(keepLast: Int = 1, minAgeMs: Long = 0L): (Int, Int) = {
+    val cutoff = System.currentTimeMillis - minAgeMs
     require(keepLast >= 1, "must retain at least the current snapshot")
     val cur = currentVersion.getOrElse(sys.error(s"no such table: $root"))
     val all = graft.util.Tables.listClosed(rootPath.resolve("manifests"))(
@@ -247,14 +261,18 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
     if (Files.exists(dataRoot)) {
       val committedDirs = graft.util.Tables.listClosed(dataRoot)(
         _.filter(Files.isDirectory(_)).toSeq).filter { d =>
+          // numeric version PREFIX: write dirs are either "v12" (legacy)
+          // or "v12-ab34cd5e" (unique per write attempt, multi-writer)
           val nm = d.getFileName.toString
-          nm.startsWith("v") &&
-            scala.util.Try(nm.stripPrefix("v").toLong).toOption.exists(_ <= cur)
+          val num = nm.stripPrefix("v").takeWhile(_.isDigit)
+          nm.startsWith("v") && num.nonEmpty &&
+            scala.util.Try(num.toLong).toOption.exists(_ <= cur)
         }
       committedDirs.foreach { vd =>
         graft.util.Tables.walkClosed(vd)(_.toSeq).reverse.foreach { p =>
           if (Files.isRegularFile(p) && p.getFileName.toString.startsWith("part-") &&
-              !keepFiles.contains(p.toString)) {
+              !keepFiles.contains(p.toString) &&
+              scala.util.Try(Files.getLastModifiedTime(p).toMillis <= cutoff).getOrElse(true)) {
             Files.delete(p); dataDeleted += 1
           } else if (Files.isDirectory(p) &&
               graft.util.Tables.listClosed(p)(!_.hasNext)) {
