@@ -210,6 +210,38 @@ object CurationOps extends QueryPack {
         .withColumn("pct_rank", percent_rank().over(w))
         .withColumn("kept", $"pct_rank" >= 0.25)
         .orderBy("source", "doc_id")
+    },
+
+    // ── Histogram quantile gate: q59's 100 TB execution shape ──────────
+    // Same contract (drop each source's bottom quartile by score) but the
+    // quantile comes from a per-(source, score) HISTOGRAM instead of a
+    // per-source sort of every row: integer scores are bounded (n_tok ≤
+    // 8192), so the only data-scale operations are one map-side-
+    // combinable hash aggregation and one broadcast join of the tiny
+    // per-source threshold table back onto the corpus. The windows run
+    // over the histogram (≤ sources × 8192 rows — metadata scale). All
+    // arithmetic is exact integers (cum × 4 ≥ total, no float quantile),
+    // so the result is bit-reproducible across engines and cluster
+    // sizes — unlike approx_percentile, this scale path is still under
+    // the external hash oracle. Threshold semantics: the smallest score
+    // whose cumulative count reaches a quarter of the source; ties keep
+    // together (a histogram cannot split equal scores, which is the
+    // honest behavior for a data gate).
+    "q63_histogram_quantile_gate" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", tokCol.as("score"))
+      val hist = docs.groupBy($"source", $"score").agg(count(lit(1)).as("n"))
+      val cum = hist
+        .withColumn("cum", sum($"n").over(
+          Window.partitionBy($"source").orderBy($"score")))
+        .withColumn("total", sum($"n").over(Window.partitionBy($"source")))
+      val thresholds = cum.filter($"cum" * 4 >= $"total")
+        .groupBy($"source").agg(min($"score").as("threshold"))
+      docs.join(broadcast(thresholds), Seq("source"))
+        .withColumn("kept", $"score" >= $"threshold")
+        .select($"doc_id", $"source", $"score", $"threshold", $"kept")
+        .orderBy("source", "doc_id")
     }
   )
 
@@ -296,6 +328,19 @@ object CurationOps extends QueryPack {
          |  percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) AS pct_rank,
          |  percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) >= 0.25 AS kept
          |FROM (SELECT doc_id, source, $duckTok AS score FROM documents)
-         |ORDER BY source, doc_id""".stripMargin
+         |ORDER BY source, doc_id""".stripMargin,
+
+    "q63_histogram_quantile_gate" ->
+      s"""WITH d AS (SELECT doc_id, source, $duckTok AS score FROM documents),
+         |h AS (SELECT source, score, count(*) AS n FROM d GROUP BY 1, 2),
+         |c AS (SELECT source, score,
+         |        sum(n) OVER (PARTITION BY source ORDER BY score) AS cum,
+         |        sum(n) OVER (PARTITION BY source) AS total
+         |      FROM h),
+         |t AS (SELECT source, min(score) AS threshold FROM c
+         |      WHERE cum * 4 >= total GROUP BY 1)
+         |SELECT d.doc_id, d.source, d.score, t.threshold,
+         |  d.score >= t.threshold AS kept
+         |FROM d JOIN t USING (source) ORDER BY source, doc_id""".stripMargin
   )
 }

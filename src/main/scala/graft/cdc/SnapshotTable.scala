@@ -24,8 +24,10 @@ import org.apache.spark.sql.types._
   * `_current`). Readers resolve `_current` → manifest → file list, so they
   * only ever observe whole, committed snapshots — the linearization point
   * is the single rename, mirroring the reference's implicit reliance on
-  * Snowflake's atomic MERGE (fct_trips.sql:1-13). Single-writer by design;
-  * replayed writers are fenced by (queryId, epochId) in [[Manifest.fences]].
+  * Snowflake's atomic MERGE (fct_trips.sql:1-13). Concurrent writers are
+  * arbitrated by the lease-gated claim below (losers rebase via
+  * [[MergeEngine]]); replayed/racing writers on the same lane are fenced
+  * by (queryId, epochId) in [[Manifest.fences]].
   *
   * Scale note: a snapshot is O(files) metadata on the driver; data stays in
   * executors. Bucket count sizes the rewrite granularity — at 100 TB you

@@ -159,4 +159,29 @@ class CurationOpsSpec extends SparkSpec {
           s"$src kept a doc below a dropped doc's score")
     }
   }
+
+  test("q63 histogram gate contains the exact q59 gate; extras only at the boundary tie group") {
+    // the histogram quantile cannot split a tie group, so its kept set is
+    // the exact gate's kept set plus (at most) the rest of the threshold
+    // score's tie group — never a doc below the threshold
+    val exactKept = q("q59_quality_quantile_gate")
+      .filter(org.apache.spark.sql.functions.col("kept"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hist = q("q63_histogram_quantile_gate")
+      .select("doc_id", "score", "threshold", "kept").collect()
+    val histKept = hist.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(exactKept.subsetOf(histKept),
+      s"histogram gate dropped ${(exactKept -- histKept).size} docs the exact gate keeps")
+    val extras = histKept -- exactKept
+    val scoreOf = hist.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    extras.foreach { d =>
+      val (score, threshold) = scoreOf(d)
+      assert(score == threshold,
+        s"non-boundary extra doc $d: score $score vs threshold $threshold")
+    }
+    // and the gate still behaves as a cut: kept iff score >= threshold
+    hist.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(1) >= r.getLong(2)), r.toString)
+    }
+  }
 }

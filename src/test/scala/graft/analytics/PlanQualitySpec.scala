@@ -126,6 +126,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(600))
   }
 
+  test("q63 histogram gate: threshold join broadcasts — no data-scale shuffle join or sort") {
+    // the 100 TB shape: quantiles come from the per-(source, score)
+    // histogram, thresholds broadcast back; the corpus itself is never
+    // sorted or shuffle-joined
+    val df = graft.SparkEntry.queries("q63_histogram_quantile_gate")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(1500))
+  }
+
   test("q52 embedding near-dup: LSH candidate join is an equi-join, never all-pairs") {
     // inspect the UN-cached pair plan — the memoized query only shows an
     // InMemoryTableScan over it
