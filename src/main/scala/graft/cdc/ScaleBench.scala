@@ -16,29 +16,31 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleBench {
 
-  /** One interleaved round's paired ratio for a core pair: engine
-    * efficiency and machine envelope from samples taken adjacently in
-    * time (same noise window).
-    */
-  /** The same-window machine envelope a round must grant before its
-    * engine ratio is interpretable as a scaling measurement (a 0.4
-    * hypervisor window makes ANY engine ratio meaningless).
+  /** Band the same-window machine envelope must land in before a round's
+    * engine ratio is interpretable as a scaling measurement: a 0.4
+    * hypervisor window makes ANY engine ratio meaningless, and an
+    * envelope well ABOVE 1 is just as invalid — it means the noise wave
+    * shifted BETWEEN the pair's two adjacent samples (the host cannot
+    * genuinely grant super-linear per-core CPU).
     */
   val ValidWindowEnvelope = 0.9
+  val ValidWindowEnvelopeHigh = 1.25
 
   final case class RoundPair(efficiency: Double, machineEnvelope: Double) {
-    def windowValid: Boolean = machineEnvelope >= ValidWindowEnvelope
+    def windowValid: Boolean =
+      machineEnvelope >= ValidWindowEnvelope && machineEnvelope <= ValidWindowEnvelopeHigh
   }
 
   final case class PairResult(lo: Int, hi: Int, efficiency: Double,
       machineEnvelope: Double, pooledEfficiency: Double, rounds: Seq[RoundPair]) {
     def engineVsMachine: Double = efficiency / machineEnvelope
     /** True when the HEADLINE numbers above come from a round whose
-      * machine envelope cleared [[ValidWindowEnvelope]] — i.e. the
-      * efficiency is checkable from this artifact alone, no external
-      * noise-wave narrative needed.
+      * machine envelope landed in the valid band — i.e. the efficiency
+      * is checkable from this artifact alone, no external noise-wave
+      * narrative needed.
       */
-    def windowValid: Boolean = machineEnvelope >= ValidWindowEnvelope
+    def windowValid: Boolean =
+      machineEnvelope >= ValidWindowEnvelope && machineEnvelope <= ValidWindowEnvelopeHigh
   }
 
   final case class Series(events: Long, eps: Map[Int, Double], pairs: Seq[PairResult]) {
@@ -57,7 +59,7 @@ object ScaleBench {
           s""""pooled_efficiency":${r3(p.pooledEfficiency)},""" +
           s""""rounds":$roundsJson}"""
       }.mkString("[", ",", "]")
-      s"""{"events":$events,"valid_window_envelope":$ValidWindowEnvelope,"eps":$epsJson,"pairs":$pairsJson}"""
+      s"""{"events":$events,"valid_window_envelope":[$ValidWindowEnvelope,$ValidWindowEnvelopeHigh],"eps":$epsJson,"pairs":$pairsJson}"""
     }
   }
 
@@ -213,8 +215,10 @@ object ScaleBench {
       sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_ROUNDS", "6").toInt)
     def headlineWindowSeen(rs: Seq[Map[Int, (Double, Double)]]): Boolean =
       ordered.lengthCompare(2) < 0 || rs.exists { r =>
-        val lo = ordered(0); val hi = ordered(1)
-        (r(hi)._2 / r(lo)._2) / (hi.toDouble / lo) >= ValidWindowEnvelope
+        val lo = ordered(0)
+        val hi = ordered(1)
+        val env = (r(hi)._2 / r(lo)._2) / (hi.toDouble / lo)
+        env >= ValidWindowEnvelope && env <= ValidWindowEnvelopeHigh
       }
     var rounds: Seq[Map[Int, (Double, Double)]] = Seq.empty
     var rep = 0
