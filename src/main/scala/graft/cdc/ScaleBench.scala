@@ -141,19 +141,22 @@ object ScaleBench {
     // Untimed warmup replay: JIT + Janino codegen caches are JVM-wide,
     // so one small end-to-end replay stops the first timed run from
     // paying compilation costs the others don't (a serial term that
-    // would understate scaling efficiency).
-    {
+    // would understate scaling efficiency). Non-fatal: a warmup crash
+    // costs accuracy of round 1, not the series.
+    scala.util.Try {
       val warm = tuned(8, workBase)
-      warm.sparkContext.setLogLevel("WARN")
-      val wcfg = cfg.copy(numEvents = 200000L, numDocs = 50000L, numFiles = 2)
-      ChangelogGen.writeLog(warm, wcfg, s"$work/warmlog")
-      IngestJob.replay(warm, IngestJob.Config(
-        logDir = s"$work/warmlog", tableDir = s"$work/warmtable",
-        checkpointDir = s"$work/warmckpt", maxFilesPerTrigger = Some(perTrigger),
-        numBuckets = 32, compaction = CompactionPolicy.counter(2), queryId = "warmup"))
-      MergeEngine.compact(warm, new SnapshotTable(s"$work/warmtable", 32))
-      warm.stop()
-    }
+      try {
+        warm.sparkContext.setLogLevel("WARN")
+        val wcfg = cfg.copy(numEvents = 200000L, numDocs = 50000L, numFiles = 2)
+        ChangelogGen.writeLog(warm, wcfg, s"$work/warmlog")
+        IngestJob.replay(warm, IngestJob.Config(
+          logDir = s"$work/warmlog", tableDir = s"$work/warmtable",
+          checkpointDir = s"$work/warmckpt", maxFilesPerTrigger = Some(perTrigger),
+          numBuckets = 32, compaction = CompactionPolicy.counter(2), queryId = "warmup"))
+        MergeEngine.compact(warm, new SnapshotTable(s"$work/warmtable", 32))
+      } finally warm.stop()
+    }.failed.foreach(e =>
+      System.err.println(s"[scale] warmup failed (continuing): ${e.getMessage}"))
 
     // The sandbox VM suffers hypervisor-level noise waves lasting tens of
     // minutes that hit full-width (32-thread) runs hardest (observed
@@ -171,34 +174,39 @@ object ScaleBench {
     def oneRound(rep: Int): Map[Int, (Double, Double)] = {
       ordered.map { c =>
         val spark = tuned(c, workBase)
-        spark.sparkContext.setLogLevel("WARN")
-        if (stageTiming) addTimingListeners(spark, c)
         val runId = java.util.UUID.randomUUID().toString.take(8)
-        val t0 = System.nanoTime()
-        val table = IngestJob.replay(spark, IngestJob.Config(
-          logDir = s"$work/log",
-          tableDir = s"$work/table-$c-$runId",
-          checkpointDir = s"$work/ckpt-$c-$runId",
-          maxFilesPerTrigger = Some(perTrigger),
-          numBuckets = 32,
-          compaction = CompactionPolicy.counter(2),
-          queryId = s"scale-$c"))
-        // end-to-end honesty: the timed window ends with a fully
-        // compacted (base-only) table, so no reconcile work is deferred
-        // past the clock
-        MergeEngine.compact(spark, new SnapshotTable(s"$work/table-$c-$runId", 32))
-        val secs = (System.nanoTime() - t0) / 1e9
-        val rows = table.manifest.get.files.map(_.rows).sum
-        spark.stop()
+        val (secs, rows) =
+          try {
+            spark.sparkContext.setLogLevel("WARN")
+            if (stageTiming) addTimingListeners(spark, c)
+            val t0 = System.nanoTime()
+            val table = IngestJob.replay(spark, IngestJob.Config(
+              logDir = s"$work/log",
+              tableDir = s"$work/table-$c-$runId",
+              checkpointDir = s"$work/ckpt-$c-$runId",
+              maxFilesPerTrigger = Some(perTrigger),
+              numBuckets = 32,
+              compaction = CompactionPolicy.counter(2),
+              queryId = s"scale-$c"))
+            // end-to-end honesty: the timed window ends with a fully
+            // compacted (base-only) table, so no reconcile work is deferred
+            // past the clock
+            MergeEngine.compact(spark, new SnapshotTable(s"$work/table-$c-$runId", 32))
+            ((System.nanoTime() - t0) / 1e9, table.manifest.get.files.map(_.rows).sum)
+          } finally {
+            // stop even on failure — a live leftover context would be
+            // silently reused (wrong core count) by the next getOrCreate
+            scala.util.Try(spark.stop())
+            // each repeat leaves a multi-GB table+checkpoint — delete
+            // eagerly (a full bench series filled the disk otherwise)
+            Seq(s"$work/table-$c-$runId", s"$work/ckpt-$c-$runId")
+              .foreach(d => scala.util.Try(graft.util.Tables.deleteRecursively(d)))
+          }
         // same-window machine ceiling at this width (pure CPU, no Spark)
         val env = machineEnvelope(c)
         System.err.println(
           f"[scale] round $rep local[$c]: $secs%.1f s, ${delivered / secs}%.0f events/s, " +
             f"$rows rows, machine=$env%.1f units/s")
-        // each repeat leaves a multi-GB table+checkpoint — delete eagerly
-        // (a full bench series filled the disk otherwise)
-        Seq(s"$work/table-$c-$runId", s"$work/ckpt-$c-$runId")
-          .foreach(d => scala.util.Try(graft.util.Tables.deleteRecursively(d)))
         c -> (delivered / secs, env)
       }.toMap
     }
@@ -220,14 +228,28 @@ object ScaleBench {
         val env = (r(hi)._2 / r(lo)._2) / (hi.toDouble / lo)
         env >= ValidWindowEnvelope && env <= ValidWindowEnvelopeHigh
       }
+    // A round can die to a transient (noise-wave stream abort, tmpfs
+    // pressure, the harness killing a sibling): drop THAT round and keep
+    // the series — a partial series with window-validity flags is
+    // evidence, an aborted one is not. Failures still count toward the
+    // round cap so a persistently-broken environment terminates.
     var rounds: Seq[Map[Int, (Double, Double)]] = Seq.empty
     var rep = 0
+    var lastFailure: Option[Throwable] = None
     while (rep < repeats || (rep < maxRounds && !headlineWindowSeen(rounds))) {
       rep += 1
       if (rep > repeats) System.err.println(
         s"[scale] no clean window in $repeats rounds — extending (round $rep/$maxRounds)")
-      rounds = rounds :+ oneRound(rep)
+      scala.util.Try(oneRound(rep)) match {
+        case scala.util.Success(r) => rounds = rounds :+ r
+        case scala.util.Failure(e) =>
+          lastFailure = Some(e)
+          System.err.println(s"[scale] round $rep failed (dropped): ${e.getMessage}")
+      }
     }
+    if (rounds.isEmpty)
+      throw new IllegalStateException(
+        s"all $rep scaling rounds failed", lastFailure.orNull)
 
     val eps: Map[Int, Double] =
       ordered.map(c => c -> rounds.map(_(c)._1).max).toMap
