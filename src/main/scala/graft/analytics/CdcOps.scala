@@ -328,6 +328,28 @@ object CdcOps extends QueryPack {
           md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
           $"n_tok", $"source")
         .orderBy("doc_id")
+    },
+
+    // SCD2 temporal history of the same changelog: where q50 keeps only
+    // survivors, this keeps every version with its [valid_from, valid_to)
+    // LSN interval — the dbt-snapshot analog of the reference's monthly
+    // incremental loads. Input includes the d%13 duplicate re-deliveries
+    // (collapsed by Scd2's same-ord dedup) and excludes the d%23
+    // malformed events via the SAME ingest validity rule the engine
+    // applies, so the temporal view provably agrees with the ingest path.
+    "q64_scd2_history" -> { (s, dir) =>
+      import s.implicits._
+      val log = {
+        val full = changelog(s, dir)
+        full.filter(IngestJob.validExpr(full))
+      }
+      val withDups = log.unionByName(
+        log.filter($"op" === "I" && pmod($"lsn" / 3, lit(13L)) === 0))
+      Scd2.fromChangelog(withDups, Seq("doc_id"), "lsn")
+        .select($"doc_id",
+          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
+          $"valid_from_lsn", $"valid_to_lsn", $"is_current")
+        .orderBy("doc_id", "valid_from_lsn")
     }
   )
 
@@ -469,6 +491,35 @@ object CdcOps extends QueryPack {
         |  CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
         |  count(*) - count(DISTINCT (lsn, op, n_tok)) AS n_dup,
         |  min(lsn) AS min_lsn, max(lsn) AS max_lsn
-        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SCD2 by rule: the insert version [3d, …) closes at 3d+1 (update)
+    // or 3d+2 (delete) or stays open; the d%5 update version [3d+1, …)
+    // closes at 3d+2 or stays open; deleted docs contribute closed rows
+    // only. Duplicate re-deliveries and malformed events never appear.
+    "q64_scd2_history" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
+         |    list_transform(
+         |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+         |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
+         |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks
+         |  FROM documents),
+         |vers AS (
+         |  SELECT doc_id, md5(array_to_string(base_toks, ',')) AS tokens_fp,
+         |    CAST(3 * did AS BIGINT) AS valid_from_lsn,
+         |    CAST(CASE WHEN did % 5 = 0 THEN 3 * did + 1
+         |              WHEN did % 17 = 0 THEN 3 * did + 2 END AS BIGINT) AS valid_to_lsn
+         |  FROM toks
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    md5(array_to_string(
+         |      list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT)), ',')),
+         |    CAST(3 * did + 1 AS BIGINT),
+         |    CAST(CASE WHEN did % 17 = 0 THEN 3 * did + 2 END AS BIGINT)
+         |  FROM toks WHERE did % 5 = 0)
+         |SELECT doc_id, tokens_fp, valid_from_lsn, valid_to_lsn,
+         |  (valid_to_lsn IS NULL) AS is_current
+         |FROM vers ORDER BY doc_id, valid_from_lsn""".stripMargin
   )
 }

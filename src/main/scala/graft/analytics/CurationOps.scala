@@ -242,6 +242,27 @@ object CurationOps extends QueryPack {
         .withColumn("kept", $"score" >= $"threshold")
         .select($"doc_id", $"source", $"score", $"threshold", $"kept")
         .orderBy("source", "doc_id")
+    },
+
+    // Domain-mixture reweighting: per-source token mass → the sampling
+    // weight that flattens the mixture to a uniform target share (the
+    // upsample/downsample factor a data loader applies per domain).
+    // One map-side-combinable agg over source (bounded cardinality) plus
+    // a broadcast 1-row total; both ratios are single IEEE divisions of
+    // exact integer sums, so the hash gate is bit-stable.
+    "q67_domain_mixture" -> { (s, dir) =>
+      import s.implicits._
+      val perSource = Tables.load(s, dir, "documents")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(wordsCol($"text")).cast("long")).as("n_tokens"))
+      val tot = perSource.agg(
+        sum($"n_tokens").as("total"), count(lit(1)).as("k"))
+      perSource.crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", $"n_tokens",
+          ($"n_tokens".cast("double") / $"total").as("token_share"),
+          ($"total".cast("double") / ($"k" * $"n_tokens")).as("mix_weight"))
+        .orderBy("source")
     }
   )
 
@@ -341,6 +362,20 @@ object CurationOps extends QueryPack {
          |      WHERE cum * 4 >= total GROUP BY 1)
          |SELECT d.doc_id, d.source, d.score, t.threshold,
          |  d.score >= t.threshold AS kept
-         |FROM d JOIN t USING (source) ORDER BY source, doc_id""".stripMargin
+         |FROM d JOIN t USING (source) ORDER BY source, doc_id""".stripMargin,
+
+    "q67_domain_mixture" ->
+      s"""WITH per_source AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len($duckWords)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         |    count(*) AS k
+         |  FROM per_source)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / total AS token_share,
+         |  CAST(total AS DOUBLE) / (k * n_tokens) AS mix_weight
+         |FROM per_source, tot ORDER BY source""".stripMargin
   )
 }

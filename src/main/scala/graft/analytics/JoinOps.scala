@@ -154,10 +154,84 @@ object JoinOps extends QueryPack {
             .when($"open_pct" < $"prev_pct", "falling")
             .otherwise("flat"))
         .orderBy("o_year")
+    },
+
+    "q65_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      // As-of join: each purchase picks up the user's most recent click
+      // at-or-before it (the point-in-time enrichment the reference's OBT
+      // approximates with exact-key dim joins, obt_trips.sql:3-28).
+      // lag_us is an exact integer (µs), so the hash gate needs no float
+      // tolerance; the DuckDB oracle is a NATIVE `ASOF LEFT JOIN` — an
+      // independent algorithm checking the union+window implementation.
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id", $"value")
+      asofJoin(purchases, clicks, Seq("user_id"), "ts")
+        .select($"event_id", $"user_id", $"value",
+          $"asof_event_id", $"asof_value",
+          (unix_micros($"ts".cast("timestamp")) -
+            unix_micros($"asof_ts".cast("timestamp"))).as("lag_us"))
+        .orderBy("event_id")
     }
   )
 
+  /** Scalable as-of join: for each left row, the latest right row with
+    * `right.ord <= left.ord` in the same key group. Implemented with the
+    * union + running-last-value trick: tag right rows 0 and left rows 1,
+    * union, and take `last(payload, ignoreNulls)` over a running window
+    * ordered by (ord, tag) — ONE hash shuffle on the key, one ordered
+    * pass, no range-condition join (which Spark would plan as a
+    * broadcast-nested-loop: O(|L|·|R|) per key and a driver-sized
+    * broadcast at 10^10 rows). At equal ord the right row wins (tag 0
+    * sorts first), matching ASOF JOIN's `>=` bound. Right payload columns
+    * come back prefixed (`asof_` + name, including `asof_<ord>`); a null
+    * right payload value is treated as absent (documented limitation of
+    * the ignoreNulls carry).
+    */
+  def asofJoin(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+      ordCol: String, prefix: String = "asof_"): org.apache.spark.sql.DataFrame = {
+    val payload = right.columns.filterNot(keyCols.contains).filterNot(_ == ordCol)
+    val rTagged = right.select(
+      keyCols.map(col) ++ Seq(col(ordCol), lit(0).as("__tag"), col(ordCol).as(s"$prefix$ordCol")) ++
+        payload.map(c => col(c).as(s"$prefix$c")): _*)
+    val leftCols = left.columns.filterNot(keyCols.contains).filterNot(_ == ordCol)
+    val lTagged = left.select(
+      keyCols.map(col) ++ Seq(col(ordCol), lit(1).as("__tag"),
+        lit(null).cast(right.schema(ordCol).dataType).as(s"$prefix$ordCol")) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")) ++
+        leftCols.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ordCol), col("__tag"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val carried = (s"$prefix$ordCol" +: payload.map(p => s"$prefix$p")).foldLeft(
+      lTagged.unionByName(rTagged, allowMissingColumns = true)) {
+      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1).drop("__tag")
+  }
+
   def oracles: Map[String, String] = Map(
+    // Independent algorithm on purpose: DuckDB's native ASOF JOIN
+    // (binary-search per probe) vs the engine's union+running-window.
+    "q65_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.value,
+        |  c.event_id AS asof_event_id, c.value AS asof_value,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
     "q08_baseline_join" ->
       """WITH monthly AS (
         |  SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,

@@ -100,6 +100,43 @@ object TextOps extends QueryPack {
           weighted.as("roll_hash"),
           length($"text").as("n"))
         .orderBy("doc_id")
+    },
+
+    // Gopher-style within-document repetition metrics: duplicate-word
+    // fraction and most-frequent-bigram share. Word stats are per-row
+    // array expressions (codegen'd, shuffle-free); bigram frequencies go
+    // through ONE hash shuffle on (doc_id, bigram) with map-side combine
+    // — bigrams are built row-local with slice+arrays_zip (both
+    // codegen'd, no CodegenFallback HOF chain, no per-doc window). All
+    // output ratios are single IEEE divisions of exact integers, so the
+    // DuckDB hash compare is bit-stable.
+    "q66_repetition_score" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", wordsCol($"text").as("words"))
+      val wd = docs.select(
+        $"doc_id",
+        size($"words").cast("int").as("n_words"),
+        size(array_distinct($"words")).cast("int").as("n_distinct_words"))
+      val n = size($"words")
+      val bg = docs
+        .select($"doc_id", explode(
+          arrays_zip(slice($"words", lit(1), greatest(n - 1, lit(0))),
+            slice($"words", lit(2), greatest(n - 1, lit(0)))))
+          .as("pair"))
+        .select($"doc_id", concat_ws(" ", $"pair.0", $"pair.1").as("bigram"))
+      val agg = bg.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(max($"c").cast("int").as("top_bigram_count"),
+          sum($"c").cast("int").as("n_bigrams"))
+      wd.join(agg, Seq("doc_id"))
+        .select($"doc_id", $"n_words", $"n_distinct_words",
+          (lit(1.0) - $"n_distinct_words".cast("double") / $"n_words")
+            .as("dup_word_frac"),
+          $"top_bigram_count", $"n_bigrams",
+          ($"top_bigram_count".cast("double") / $"n_bigrams")
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
     }
   )
 
@@ -157,6 +194,38 @@ object TextOps extends QueryPack {
         |    i -> CAST(ascii(substring(text, i, 1)) AS BIGINT) * i)) % 1000000007
         |    AS BIGINT) AS roll_hash,
         |  length(text) AS n
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Independent bigram construction on purpose: the oracle pairs words
+    // with a lead window over unnest positions (vs the engine's row-local
+    // slice+zip). Docs with <2 words have no bigram row on either side.
+    "q66_repetition_score" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $duckWords AS words FROM documents),
+         |w AS (
+         |  SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) AS pos
+         |  FROM d),
+         |bg AS (
+         |  SELECT doc_id,
+         |    w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+         |  FROM w),
+         |bgc AS (
+         |  SELECT doc_id, bigram, count(*) AS c FROM bg
+         |  WHERE bigram IS NOT NULL GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, max(c) AS top_bigram_count,
+         |    CAST(sum(c) AS BIGINT) AS n_bigrams
+         |  FROM bgc GROUP BY 1),
+         |wd AS (
+         |  SELECT doc_id, CAST(len(words) AS INT) AS n_words,
+         |    CAST(len(list_distinct(words)) AS INT) AS n_distinct_words
+         |  FROM d)
+         |SELECT wd.doc_id, n_words, n_distinct_words,
+         |  1.0 - CAST(n_distinct_words AS DOUBLE) / n_words AS dup_word_frac,
+         |  CAST(top_bigram_count AS INT) AS top_bigram_count,
+         |  CAST(n_bigrams AS INT) AS n_bigrams,
+         |  CAST(top_bigram_count AS DOUBLE) / n_bigrams AS top_bigram_frac
+         |FROM wd JOIN agg ON wd.doc_id = agg.doc_id
+         |ORDER BY wd.doc_id""".stripMargin
   )
 }

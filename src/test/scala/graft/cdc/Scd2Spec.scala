@@ -1,0 +1,65 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SCD2 semantics: versions tile the key's lifetime in log order, deletes
+  * close without emitting, duplicate re-deliveries collapse, and the plan
+  * pays exactly one hash shuffle (both window passes share the key
+  * partitioning).
+  */
+class Scd2Spec extends SparkSpec {
+
+  private def log = {
+    import spark.implicits._
+    Seq(
+      // a: insert + two updates → three versions, last one current
+      ("a", 1L, "I", "a1"), ("a", 3L, "U", "a3"), ("a", 7L, "U", "a7"),
+      // b: insert then delete → one closed version, nothing current
+      ("b", 2L, "I", "b2"), ("b", 5L, "D", null),
+      // c: insert re-delivered verbatim (at-least-once) + update
+      ("c", 4L, "I", "c4"), ("c", 4L, "I", "c4"), ("c", 6L, "U", "c6"),
+      // d: delete of a key never inserted in this log slice → no rows
+      ("d", 9L, "D", null)
+    ).toDF("doc_id", "lsn", "op", "payload")
+  }
+
+  test("intervals, delete close, duplicate collapse") {
+    val out = Scd2.fromChangelog(log, Seq("doc_id"), "lsn")
+      .select("doc_id", "valid_from_lsn", "valid_to_lsn", "is_current", "payload")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3), r.getString(4)))
+      .toSet
+    assert(out === Set(
+      ("a", 1L, 3L, false, "a1"),
+      ("a", 3L, 7L, false, "a3"),
+      ("a", 7L, -1L, true, "a7"),
+      ("b", 2L, 5L, false, "b2"),
+      ("c", 4L, 6L, false, "c4"),
+      ("c", 6L, -1L, true, "c6")))
+  }
+
+  test("tiling law: valid_to equals the next version's valid_from; at most one current per key") {
+    import spark.implicits._
+    val out = Scd2.fromChangelog(log, Seq("doc_id"), "lsn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"valid_from_lsn")
+    val gaps = out
+      .withColumn("next_from", lead($"valid_from_lsn", 1).over(w))
+      .filter($"next_from".isNotNull && $"valid_to_lsn" =!= $"next_from")
+      .count()
+    assert(gaps === 0L)
+    val multiCurrent = out.filter($"is_current")
+      .groupBy($"doc_id").count().filter($"count" > 1).count()
+    assert(multiCurrent === 0L)
+  }
+
+  test("plan: one hash shuffle — dedup and interval windows share the key partitioning") {
+    val df = Scd2.fromChangelog(log, Seq("doc_id"), "lsn")
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+}
