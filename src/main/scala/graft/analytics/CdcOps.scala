@@ -350,6 +350,37 @@ object CdcOps extends QueryPack {
           md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
           $"valid_from_lsn", $"valid_to_lsn", $"is_current")
         .orderBy("doc_id", "valid_from_lsn")
+    },
+
+    // The INCREMENTAL maintenance path to the same temporal table: fold
+    // the 5 epoch chunks through Scd2.merge (closed history passes
+    // through, open rows close at each epoch's first event per key).
+    // Cross-epoch duplicate re-deliveries are dropped by the same
+    // watermark rule the ingest applies (an epoch's fresh events start at
+    // its chunk boundary); the result must byte-match q64's full rebuild
+    // — the q49/q54 pattern: one oracle, two engine paths.
+    "q68_scd2_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val log = {
+        val full = changelog(s, dir)
+        full.filter(IngestJob.validExpr(full))
+      }
+      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val chunk = maxDid / 4 + 1
+      val scd = epochBatches(s, dir, log).foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        case (prior, (k, batch)) =>
+          // below-watermark filter = the ingest dedup's contract: epoch
+          // k's applied events all sit at/above its chunk boundary
+          val fresh = batch.filter($"lsn" >= k * chunk * 3)
+          Some(prior match {
+            case None => Scd2.fromChangelog(fresh, Seq("doc_id"), "lsn")
+            case Some(p) => Scd2.merge(p, fresh, Seq("doc_id"), "lsn")
+          })
+      }.get
+      scd.select($"doc_id",
+          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
+          $"valid_from_lsn", $"valid_to_lsn", $"is_current")
+        .orderBy("doc_id", "valid_from_lsn")
     }
   )
 
@@ -497,7 +528,12 @@ object CdcOps extends QueryPack {
     // or 3d+2 (delete) or stays open; the d%5 update version [3d+1, …)
     // closes at 3d+2 or stays open; deleted docs contribute closed rows
     // only. Duplicate re-deliveries and malformed events never appear.
-    "q64_scd2_history" ->
+    // q68 is the incremental-maintenance build of the SAME table.
+    "q64_scd2_history" -> scd2Sql,
+    "q68_scd2_incremental" -> scd2Sql
+  )
+
+  private lazy val scd2Sql: String =
       s"""WITH toks AS (
          |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
          |    list_transform(
@@ -521,5 +557,4 @@ object CdcOps extends QueryPack {
          |SELECT doc_id, tokens_fp, valid_from_lsn, valid_to_lsn,
          |  (valid_to_lsn IS NULL) AS is_current
          |FROM vers ORDER BY doc_id, valid_from_lsn""".stripMargin
-  )
 }

@@ -55,6 +55,32 @@ class Scd2Spec extends SparkSpec {
     assert(multiCurrent === 0L)
   }
 
+  test("incremental merge law: epoch-split fold equals the full rebuild") {
+    import spark.implicits._
+    // deterministic mixed log: 37 keys, 400 events, I/U/D interleaved
+    // (including delete-then-reinsert lifecycles across split points)
+    val events = (1 to 400).map { i =>
+      val op = if (i % 11 == 0) "D" else if (i % 3 == 0) "U" else "I"
+      (s"k${i % 37}", i.toLong, op, s"p$i")
+    }
+    val df = events.toDF("doc_id", "lsn", "op", "payload")
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = d.columns.sorted
+      d.select(cols.head, cols.tail: _*).collect().map(_.toString).sorted.toSeq
+    }
+    val full = canon(Scd2.fromChangelog(df, Seq("doc_id"), "lsn"))
+    for (splits <- Seq(Seq(100L, 250L), Seq(50L, 180L, 320L), Seq(399L))) {
+      val bounds = (Seq(0L) ++ splits ++ Seq(Long.MaxValue)).sliding(2).toSeq
+      val batches = bounds.map { case Seq(lo, hi) =>
+        df.filter($"lsn" > lo && $"lsn" <= hi)
+      }
+      val inc = batches.tail.foldLeft(
+        Scd2.fromChangelog(batches.head, Seq("doc_id"), "lsn"))(
+        (p, b) => Scd2.merge(p, b, Seq("doc_id"), "lsn"))
+      assert(canon(inc) === full, s"splits $splits diverged from full rebuild")
+    }
+  }
+
   test("plan: one hash shuffle — dedup and interval windows share the key partitioning") {
     val df = Scd2.fromChangelog(log, Seq("doc_id"), "lsn")
     df.count()
