@@ -383,6 +383,34 @@ object DedupOps extends QueryPack {
         .filter($"rn" === 1)
         .select($"d2".as("dropped_id"), $"d1".as("kept_id"), $"hamming")
         .orderBy("dropped_id")
+    },
+
+    // Duplicate-CLUSTER resolution: q35/q37 emit verified near-dup PAIRS,
+    // but survivor election needs the transitive closure — a~b and b~c
+    // put {a,b,c} in ONE group with one canonical doc, which no per-pair
+    // rule can decide (keep-lowest per pair can drop every member of a
+    // chain). Connected components over the jaccard-verified edge set,
+    // min-label + pointer-doubling (O(log diameter) rounds of
+    // key-partitioned equi-joins — see ConnectedComponents scaladoc for
+    // the 10^10-edge shape). Oracle: DuckDB recursive CTE computing the
+    // same min-reachable-id fixpoint.
+    "q69_dedup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val sets = corpus(s, dir, withExact = true, withNear = true)
+        .select($"doc_id", array_distinct(shinglesCol($"text")).as("sset"))
+      val edges = candidatePairs(s, dir)
+        .join(sets.select($"doc_id".as("d1"), $"sset".as("s1")), Seq("d1"))
+        .join(sets.select($"doc_id".as("d2"), $"sset".as("s2")), Seq("d2"))
+        .filter(size(array_intersect($"s1", $"s2")) * 10 >=
+          (size($"s1") + size($"s2") - size(array_intersect($"s1", $"s2"))) * 6)
+        .select($"d1", $"d2")
+      val comps = graft.operators.ConnectedComponents.run(edges, "d1", "d2")
+      comps
+        .join(comps.groupBy($"component").agg(count(lit(1)).as("cluster_size")),
+          "component")
+        .select($"id".as("doc_id"), $"component", $"cluster_size",
+          ($"id" === $"component").as("is_canonical"))
+        .orderBy("component", "doc_id")
     }
   )
 
@@ -505,6 +533,35 @@ object DedupOps extends QueryPack {
          |SELECT d2 AS dropped_id, d1 AS kept_id, hamming FROM (
          |  SELECT *, row_number() OVER (PARTITION BY d2 ORDER BY d1) AS rn FROM near)
          |WHERE rn = 1 ORDER BY dropped_id""".stripMargin
-    }
+    },
+
+    // Same verified edge set as q37 (exact-integer 10·inter >= 6·union —
+    // the threshold can never flip on a float boundary), then the
+    // min-reachable-id fixpoint as a recursive CTE: UNION-dedup makes the
+    // walk terminate, min(lbl) per doc is the component id.
+    "q69_dedup_clusters" ->
+      s"""${duckCandidatePairs.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sets AS (
+         |  SELECT doc_id, list_distinct($duckShingles) AS sset FROM corpus),
+         |edges AS (
+         |  SELECT d1, d2 FROM (
+         |    SELECT d1, d2,
+         |      len(list_filter(a.sset, x -> list_contains(b.sset, x))) AS n_inter,
+         |      len(a.sset) + len(b.sset)
+         |        - len(list_filter(a.sset, x -> list_contains(b.sset, x))) AS n_union
+         |    FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id)
+         |  WHERE n_inter * 10 >= n_union * 6),
+         |sym AS (
+         |  SELECT d1 AS src, d2 AS dst FROM edges
+         |  UNION ALL SELECT d2, d1 FROM edges),
+         |walk(doc, lbl) AS (
+         |  SELECT DISTINCT src, src FROM sym
+         |  UNION
+         |  SELECT s.src, w.lbl FROM sym s JOIN walk w ON w.doc = s.dst),
+         |comp AS (SELECT doc, min(lbl) AS component FROM walk GROUP BY doc)
+         |SELECT doc AS doc_id, component,
+         |  count(*) OVER (PARTITION BY component) AS cluster_size,
+         |  doc = component AS is_canonical
+         |FROM comp ORDER BY component, doc_id""".stripMargin
   )
 }

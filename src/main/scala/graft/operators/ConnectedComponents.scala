@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by min-label propagation with
+  * pointer doubling — the canonical-survivor step the pair-producing
+  * dedup tiers (q35/q52/q55) stop short of: near-dup EDGES say "a and b
+  * are copies", but choosing ONE representative per duplicate *group*
+  * needs the transitive closure (a~b, b~c ⟹ {a,b,c} share a survivor;
+  * the reference's analog is the dbt dedup on a single exact key,
+  * `nyc_taxi_dbt/models/staging/stg_trips.sql` qualify row_number — a
+  * transitive grouping is what that becomes once "duplicate" is fuzzy).
+  *
+  * Algorithm: every node starts labeled with itself; each round takes
+  * the min of its own and its neighbors' labels (one key-partitioned
+  * shuffle: join edges⋈labels + map-side-combinable min agg), then
+  * pointer-jumps `lbl := label(lbl)` (a second equi-join — label values
+  * are themselves node ids, so the lookup table IS the label table).
+  * The jump doubles the distance a min travels per round, so rounds are
+  * O(log diameter) instead of O(diameter) — on a 10^10-edge near-dup
+  * graph whose worst clusters are chains, that is ~34 rounds vs 10^10.
+  * Convergence is detected distributively (count of changed labels — one
+  * scalar to the driver per round); lineage is truncated each round via
+  * localCheckpoint so plan depth stays constant. No step is ever
+  * all-pairs and nothing but the change count crosses the driver.
+  */
+object ConnectedComponents {
+
+  /** @param edges     two-column undirected edge list
+    * @param srcCol    left endpoint column name
+    * @param dstCol    right endpoint column name
+    * @return ("id", "component") — component = min node id reachable
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 40): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val sym = edges.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
+      .unionByName(edges.select(col(dstCol).as("id"), col(srcCol).as("nbr")))
+      .persist()
+    var labels = sym.select($"id").distinct()
+      .select($"id", $"id".as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+        .groupBy($"id").agg(min($"lbl").as("nlbl"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select($"id", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+      // pointer jump: label values are node ids, so stepped doubles as
+      // its own lookup table (left join: a min label may already be final
+      // and thus absent as a key only when the graph is empty — keep the
+      // coalesce for safety, it costs nothing)
+      val jumped = stepped
+        .join(stepped.select($"id".as("lbl"), $"lbl".as("jlbl")), Seq("lbl"), "left")
+        .select($"id", coalesce($"jlbl", $"lbl").as("lbl"))
+        .localCheckpoint()
+      changed = jumped.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter($"lbl" =!= $"prev").count()
+      labels = jumped
+      round += 1
+    }
+    sym.unpersist()
+    require(changed == 0L,
+      s"connected components did not converge in $maxRounds rounds")
+    labels.withColumnRenamed("lbl", "component")
+  }
+}
