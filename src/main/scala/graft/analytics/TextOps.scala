@@ -137,6 +137,43 @@ object TextOps extends QueryPack {
           ($"top_bigram_count".cast("double") / $"n_bigrams")
             .as("top_bigram_frac"))
         .orderBy("doc_id")
+    },
+
+    // PII redaction — the scrub pass every training-data pipeline runs
+    // before tokenization. The synthetic corpus carries no PII, so it is
+    // planted deterministically from doc_id (doc_id%9 → an email,
+    // doc_id%13 → a 555-phone; %117 docs get both) the same way the
+    // dedup tiers plant duplicates; correctness does NOT depend on the
+    // planting — both engines apply identical regexes to identical
+    // text, planting only guarantees the rules actually fire. Shape:
+    // pure per-row Column expressions (regexp_extract_all count +
+    // global regexp_replace), shuffle-free, whole-stage codegen'd — the
+    // 100 TB cost is exactly one scan.
+    "q70_pii_redaction" -> { (s, dir) =>
+      import s.implicits._
+      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phonePat = "555-[0-9]{4}"
+      val planted = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          when($"doc_id" % 9 === 0,
+            concat($"text", lit(" reach user"), $"doc_id".cast("string"),
+              lit("@example.com asap")))
+            .otherwise($"text").as("t1"))
+        .select($"doc_id",
+          when($"doc_id" % 13 === 0,
+            concat($"t1", lit(" call 555-"),
+              lpad(($"doc_id" % 10000).cast("string"), 4, "0"), lit(" today")))
+            .otherwise($"t1").as("text"))
+      // regexp_extract_all via the Column API, not expr(): the SQL-literal
+      // parser would eat the \. escape and silently weaken the pattern
+      planted
+        .select($"doc_id",
+          size(regexp_extract_all($"text", lit(emailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all($"text", lit(phonePat), lit(0))).as("n_phones"),
+          md5(regexp_replace(regexp_replace($"text", emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>")).as("redacted_fp"))
+        .withColumn("is_clean", $"n_emails" === 0 && $"n_phones" === 0)
+        .orderBy("doc_id")
     }
   )
 
@@ -226,6 +263,32 @@ object TextOps extends QueryPack {
          |  CAST(n_bigrams AS INT) AS n_bigrams,
          |  CAST(top_bigram_count AS DOUBLE) / n_bigrams AS top_bigram_frac
          |FROM wd JOIN agg ON wd.doc_id = agg.doc_id
-         |ORDER BY wd.doc_id""".stripMargin
+         |ORDER BY wd.doc_id""".stripMargin,
+
+    // Identical planting and identical RE2-compatible regexes; DuckDB's
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // global-by-default semantics.
+    "q70_pii_redaction" ->
+      s"""WITH p1 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 0
+         |      THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com asap'
+         |      ELSE text END AS t1
+         |  FROM documents),
+         |planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0
+         |      THEN t1 || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+         |      ELSE t1 END AS text
+         |  FROM p1)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+         |  len(regexp_extract_all(text, '555-[0-9]{4}')) AS n_phones,
+         |  md5(regexp_replace(
+         |        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         |        '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp,
+         |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) = 0
+         |    AND len(regexp_extract_all(text, '555-[0-9]{4}')) = 0 AS is_clean
+         |FROM planted ORDER BY doc_id""".stripMargin
   )
 }
