@@ -100,9 +100,16 @@ object DedupOps extends QueryPack {
   private def Bs(j: Int): Long = j * 7919L + 13L
 
   /** (doc_id, band, band_key) LSH band signatures (Spark). */
-  private def bandSignatures(s: SparkSession, dir: String): DataFrame = {
+  private def bandSignatures(s: SparkSession, dir: String): DataFrame =
+    bandSignaturesOf(s, corpus(s, dir, withExact = true, withNear = true))
+
+  /** The MinHash/banding pipeline over an arbitrary (doc_id, text) frame —
+    * factored out so the incremental tier (q71) can signature-compute ONLY
+    * a dirty subset while the full build signs the whole corpus.
+    */
+  private def bandSignaturesOf(s: SparkSession, corpusDf: DataFrame): DataFrame = {
     import s.implicits._
-    val shingleRows = corpus(s, dir, withExact = true, withNear = true)
+    val shingleRows = corpusDf
       .select($"doc_id", explode(shinglesCol($"text")).as("sh"))
       .select($"doc_id", (XHash.hash32($"sh", "mh") % P).as("h0"))
     val minhashes = (0 until K).map(j =>
@@ -411,6 +418,47 @@ object DedupOps extends QueryPack {
         .select($"id".as("doc_id"), $"component", $"cluster_size",
           ($"id" === $"component").as("is_canonical"))
         .orderBy("component", "doc_id")
+    },
+
+    // ── Incremental near-dup: dedup only the CDC-dirty tail ─────────────
+    // The dedup tier composed with the engine (the q60 pattern): when the
+    // changelog touches a handful of docs, near-dup maintenance must NOT
+    // re-pair the whole corpus — the dirty set comes from the
+    // manifest-pruned changed-since read (file-skipped, tiny), is
+    // broadcast to gate the corpus scan BEFORE shingling, and only those
+    // docs pay signature cost on the query side. The index side is the
+    // full band-signature table — at 100 TB that is a standing table the
+    // same CDC pipe maintains (recomputed here only because the fixture
+    // is ephemeral); candidates are the dirty-sig ⋈ index equi-join on
+    // (band, band_key) — O(dirty × collisions), never all-pairs — then
+    // the exact-integer jaccard verify. A dirty doc reports every
+    // verified near-dup partner already in the corpus.
+    "q71_incremental_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val t = CdcOps.replayFor(s, dir).table
+      val m = t.manifest.get
+      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val minLsn = 3L * (maxDid - 10)
+      val dirty = t.readBuckets(s, (0 until m.numBuckets).toSet, minLsn)
+        .select($"doc_id".cast("long").as("doc_id"))
+      val full = corpus(s, dir, withExact = true, withNear = true)
+      val dirtySigs =
+        bandSignaturesOf(s, full.join(broadcast(dirty), Seq("doc_id")))
+      val cand = dirtySigs.select($"doc_id".as("dq"), $"band", $"band_key")
+        .join(bandSignatures(s, dir).select($"doc_id".as("dc"), $"band", $"band_key"),
+          Seq("band", "band_key"))
+        .filter($"dq" =!= $"dc")
+        .select($"dq", $"dc").distinct()
+      val sets = full.select($"doc_id", array_distinct(shinglesCol($"text")).as("sset"))
+      cand
+        .join(sets.select($"doc_id".as("dq"), $"sset".as("s1")), Seq("dq"))
+        .join(sets.select($"doc_id".as("dc"), $"sset".as("s2")), Seq("dc"))
+        .select($"dq", $"dc",
+          size(array_intersect($"s1", $"s2")).as("n_inter"),
+          (size($"s1") + size($"s2") - size(array_intersect($"s1", $"s2"))).as("n_union"))
+        .filter($"n_inter" * 10 >= $"n_union" * 6)
+        .select($"dq".as("doc_id"), $"dc".as("dup_id"), $"n_inter", $"n_union")
+        .orderBy("doc_id", "dup_id")
     }
   )
 
@@ -562,6 +610,35 @@ object DedupOps extends QueryPack {
          |SELECT doc AS doc_id, component,
          |  count(*) OVER (PARTITION BY component) AS cluster_size,
          |  doc = component AS is_canonical
-         |FROM comp ORDER BY component, doc_id""".stripMargin
+         |FROM comp ORDER BY component, doc_id""".stripMargin,
+
+    // Dirty set re-derived from the changelog rules (CdcOps survivor
+    // state, same threshold arithmetic as the engine's changed-since
+    // read), then the identical band equi-join restricted to dirty docs
+    // on the query side.
+    "q71_incremental_neardup" ->
+      s"""WITH ${CdcOps.duckSurvivorState},
+         |$duckBandSignatures,
+         |dirty AS (
+         |  SELECT did AS doc_id FROM state
+         |  WHERE lsn >= 3 * ((SELECT max(doc_id) FROM documents) - 10)),
+         |dsig AS (
+         |  SELECT b.* FROM bands b JOIN dirty d ON b.doc_id = d.doc_id),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS dq, b.doc_id AS dc
+         |  FROM dsig a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id <> b.doc_id),
+         |sets AS (
+         |  SELECT doc_id, list_distinct($duckShingles) AS sset FROM corpus),
+         |j AS (
+         |  SELECT dq, dc,
+         |    len(list_filter(a.sset, x -> list_contains(b.sset, x))) AS n_inter,
+         |    len(a.sset) + len(b.sset)
+         |      - len(list_filter(a.sset, x -> list_contains(b.sset, x))) AS n_union
+         |  FROM cand JOIN sets a ON dq = a.doc_id JOIN sets b ON dc = b.doc_id)
+         |SELECT dq AS doc_id, dc AS dup_id, n_inter, n_union
+         |FROM j WHERE n_inter * 10 >= n_union * 6
+         |ORDER BY doc_id, dup_id""".stripMargin
   )
 }
