@@ -381,6 +381,36 @@ object CdcOps extends QueryPack {
           md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
           $"valid_from_lsn", $"valid_to_lsn", $"is_current")
         .orderBy("doc_id", "valid_from_lsn")
+    },
+
+    // Incremental VIEW maintenance (Δ-aggregation, the Materialize/DBSP
+    // shape): maintain the corpus-wide token-frequency table from the
+    // changelog's deltas instead of recomputing it — each event
+    // contributes +multiset(new tokens) and −multiset(previous version's
+    // tokens), and the running sum of deltas IS the aggregate of the
+    // final state. The previous version comes from a lag over the SAME
+    // key partitioning the engine shuffles on anyway (at scale the MOR
+    // delta's pre-image serves this lookup); then one explode and one
+    // map-side-combinable hash agg on token. Two key-partitioned
+    // shuffles total — never a state recompute, which is the difference
+    // between O(changes) and O(corpus) per refresh at 10^10 events. The
+    // oracle recomputes from the survivor state, so the driver's hash
+    // gate IS the IVM law (fold of deltas == aggregate of final state).
+    "q72_ivm_token_counts" -> { (s, dir) =>
+      import s.implicits._
+      val full = changelog(s, dir)
+      val log = full.filter(IngestJob.validExpr(full))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"lsn")
+      val ev = log.withColumn("prev_tokens", lag($"tokens", 1).over(w))
+      val plus = ev.filter($"op" =!= "D")
+        .select(explode($"tokens").as("tok"), lit(1L).as("d"))
+      val minus = ev.filter($"prev_tokens".isNotNull)
+        .select(explode($"prev_tokens").as("tok"), lit(-1L).as("d"))
+      plus.unionByName(minus)
+        .groupBy($"tok").agg(sum($"d").as("n"))
+        .filter($"n" =!= 0)
+        .orderBy("tok")
     }
   )
 
@@ -530,7 +560,20 @@ object CdcOps extends QueryPack {
     // only. Duplicate re-deliveries and malformed events never appear.
     // q68 is the incremental-maintenance build of the SAME table.
     "q64_scd2_history" -> scd2Sql,
-    "q68_scd2_incremental" -> scd2Sql
+    "q68_scd2_incremental" -> scd2Sql,
+
+    // Full recompute from the survivor state — deliberately NOT the
+    // delta path: hash-equality here is exactly the IVM invariant.
+    "q72_ivm_token_counts" ->
+      s"""WITH $duckSurvivorState,
+         |tokarr AS (
+         |  SELECT CASE WHEN did % 5 = 0
+         |           THEN list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT))
+         |           ELSE base_toks END AS tokens
+         |  FROM toks WHERE did % 17 <> 0)
+         |SELECT tok, count(*) AS n
+         |FROM (SELECT unnest(tokens) AS tok FROM tokarr)
+         |GROUP BY tok ORDER BY tok""".stripMargin
   )
 
   private lazy val scd2Sql: String =
