@@ -93,10 +93,32 @@ object CdcOps extends QueryPack {
     scala.util.Try(Tables.deleteRecursively(r.work)))
   private val sinkBuilt = new Tables.FingerprintMemo[String](d =>
     scala.util.Try(Tables.deleteRecursively(d)))
+  private val scd2Built = new Tables.FingerprintMemo[String](d =>
+    scala.util.Try(Tables.deleteRecursively(d)))
+
+  /** Build the SCD2 temporal table through the STREAMING maintainer
+    * (readStream → foreachBatch → Scd2.merge) over the same 5-epoch log
+    * the MERGE replay consumes — q73 puts this third path under q64's
+    * oracle. The stream applies the validity filter and the
+    * per-partition watermark dedup itself (Scd2Stream scaladoc).
+    */
+  private def scd2StreamFor(s: SparkSession, dir: String): String =
+    scd2Built.getOrElseUpdate(dir,
+      s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
+      val logDir = s"${replayFor(s, dir).work}/log"
+      val work = Files.createTempDirectory("graft-scd2stream").toString
+      Scd2Stream.start(s, Scd2Stream.Config(
+        logDir = logDir, tableDir = s"$work/table",
+        checkpointDir = s"$work/ckpt", maxFilesPerTrigger = Some(1)))
+        .awaitTermination()
+      work
+    }
   /** Bench hook: drop the memoized replay so a fresh pass re-pays the
     * full streaming ingest instead of serving the cached table.
     */
-  private[graft] def reset(): Unit = { replayed.clear(); sinkBuilt.clear() }
+  private[graft] def reset(): Unit = {
+    replayed.clear(); sinkBuilt.clear(); scd2Built.clear()
+  }
 
   /** The 5-epoch chunking of the changelog, including the duplicate
     * re-delivery of the previous chunk's d%13 inserts — ONE definition,
@@ -383,6 +405,23 @@ object CdcOps extends QueryPack {
         .orderBy("doc_id", "valid_from_lsn")
     },
 
+    // The STREAMING build of the same SCD2 table (q64 full rebuild, q68
+    // incremental fold, q73 continuous maintenance): readStream over the
+    // epoch files → foreachBatch → Scd2.merge, closed history append-only
+    // per epoch, the open set rewritten per epoch (O(batch + open rows)),
+    // per-partition watermarks refusing re-deliveries including the
+    // deleted-key resurrection case, epoch fence making replays no-ops.
+    // One oracle, three engine paths.
+    "q73_scd2_streaming" -> { (s, dir) =>
+      import s.implicits._
+      val work = scd2StreamFor(s, dir)
+      Scd2Stream.read(s, s"$work/table")
+        .select($"doc_id",
+          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
+          $"valid_from_lsn", $"valid_to_lsn", $"is_current")
+        .orderBy("doc_id", "valid_from_lsn")
+    },
+
     // Incremental VIEW maintenance (Δ-aggregation, the Materialize/DBSP
     // shape): maintain the corpus-wide token-frequency table from the
     // changelog's deltas instead of recomputing it — each event
@@ -561,6 +600,7 @@ object CdcOps extends QueryPack {
     // q68 is the incremental-maintenance build of the SAME table.
     "q64_scd2_history" -> scd2Sql,
     "q68_scd2_incremental" -> scd2Sql,
+    "q73_scd2_streaming" -> scd2Sql,
 
     // Full recompute from the survivor state — deliberately NOT the
     // delta path: hash-equality here is exactly the IVM invariant.
