@@ -120,7 +120,17 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
     *    swap, not just checked before it, so a regression can never go
     *    unnoticed.
     */
-  def commit(m0: Manifest): Unit = {
+  def commit(m0: Manifest): Unit = this.synchronized {
+    // The claim→publish section is serialized PER HANDLE: writerId
+    // identifies the handle, so two threads sharing one handle would
+    // otherwise each read a foreign claim as "our own earlier attempt"
+    // and silently replace the sibling's mid-publish manifest (both
+    // reporting success, one writer's files lost — the round-3 advisory's
+    // lost-update, resurfacing through the shared-handle path; caught as
+    // a 1-in-N MultiWriterSpec flake under full-suite load). Distinct
+    // handles and distinct processes still arbitrate via the atomic
+    // hard-link lease; this lock only covers the one identity the lease
+    // cannot tell apart from itself.
     val m = m0.copy(writerId = writerId)
     val mp = manifestPath(m.version)
     Files.createDirectories(mp.getParent)

@@ -111,4 +111,35 @@ class CommitRaceSpec extends SparkSpec {
     assert(t.currentVersion.contains(1L))
     assert(t.manifest.get.fences == Map("mine" -> 2L))
   }
+
+  test("two threads on one SHARED handle cannot both win a version") {
+    // Regression for the shared-handle lost update: both threads carry
+    // the same writerId, so without per-handle serialization the second
+    // claimer reads the first's mid-publish claim as its OWN resumable
+    // attempt and atomically replaces it — both report success, one
+    // writer's manifest content is silently gone. 20 interleaving trials;
+    // the invariant must hold on every schedule.
+    (1 to 20).foreach { trial =>
+      val t = freshTable()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val futs = Seq("A", "B").map { who =>
+          pool.submit(new java.util.concurrent.Callable[Option[String]] {
+            def call(): Option[String] = {
+              gate.await()
+              try { t.commit(manifestV(t, 1L).copy(fences = Map(who -> 1L))); Some(who) }
+              catch { case _: SnapshotTable.ConcurrentCommitException => None }
+            }
+          })
+        }
+        gate.countDown()
+        val winners = futs.flatMap(_.get())
+        assert(winners.size == 1, s"trial $trial: both committed v1: $winners")
+        // the published manifest is the winner's, byte-consistent
+        assert(t.manifest.get.fences == Map(winners.head -> 1L),
+          s"trial $trial: published ${t.manifest.get.fences}, winner ${winners.head}")
+      } finally pool.shutdownNow()
+    }
+  }
 }
