@@ -106,18 +106,66 @@ object CdcOps extends QueryPack {
     scd2Built.getOrElseUpdate(dir,
       s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
       val logDir = s"${replayFor(s, dir).work}/log"
-      val work = Files.createTempDirectory("graft-scd2stream").toString
+      val work = Tables.newWorkDir("graft-scd2stream").toString
       Scd2Stream.start(s, Scd2Stream.Config(
         logDir = logDir, tableDir = s"$work/table",
         checkpointDir = s"$work/ckpt", maxFilesPerTrigger = Some(1)))
         .awaitTermination()
       work
     }
+  private val compacted = new Tables.FingerprintMemo[String](d =>
+    scala.util.Try(Tables.deleteRecursively(d)))
+
+  /** q74's compaction-policy bound: at most this many delta files may
+    * cover any one bucket before the SIZE-based maintenance must fold them
+    * into base (deliberately tight so a 10-epoch replay trips it
+    * repeatedly mid-stream).
+    */
+  private val q74DeltaBound = 2
+  private val q74Splits = 2
+
+  /** Many-tiny-epochs replay for the compaction gate (q74): the same
+    * valid changelog re-chunked into 10 mtime-ordered LSN slices and
+    * ingested with a tight per-bucket read-amplification bound, then one
+    * final full compact. Final state == the 5-epoch replay's (fold law),
+    * so the survivor-state oracle doubles as the data-integrity check.
+    */
+  private def compactionFor(s: SparkSession, dir: String): String =
+    compacted.getOrElseUpdate(dir,
+      s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
+      val work = Tables.newWorkDir("graft-compaction").toString
+      val logDir = Paths.get(s"$work/log")
+      Files.createDirectories(logDir)
+      val t0 = System.currentTimeMillis()
+      val log = {
+        val full = changelog(s, dir)
+        full.filter(IngestJob.validExpr(full))
+      }.persist()
+      try {
+        val maxLsn = log.agg(max("lsn")).head().getLong(0)
+        val chunk = maxLsn / 10 + 1
+        (0 until 10).foreach { k =>
+          ChangelogGen.writeSingleFile(
+            log.filter(col("lsn") >= k * chunk && col("lsn") < (k + 1) * chunk)
+              .orderBy("lsn"),
+            logDir, f"chunk-$k%05d.parquet", Some(t0 + k * 1000L))
+        }
+      } finally log.unpersist()
+      val table = IngestJob.replay(s, IngestJob.Config(
+        logDir = logDir.toString, tableDir = s"$work/table",
+        checkpointDir = s"$work/ckpt", maxFilesPerTrigger = Some(1),
+        numBuckets = 8, writeSplits = q74Splits, queryId = "compaction-gate",
+        compaction = CompactionPolicy(maxDeltaBytes = Long.MaxValue,
+          maxDeltaFilesPerBucket = q74DeltaBound, targetFileBytes = 4L << 20)))
+      MergeEngine.compact(s, table, q74Splits, targetFileBytes = 4L << 20)
+      work
+    }
+
   /** Bench hook: drop the memoized replay so a fresh pass re-pays the
     * full streaming ingest instead of serving the cached table.
     */
   private[graft] def reset(): Unit = {
-    replayed.clear(); sinkBuilt.clear(); scd2Built.clear()
+    replayed.clear(); sinkBuilt.clear(); scd2Built.clear(); compacted.clear()
   }
 
   /** The 5-epoch chunking of the changelog, including the duplicate
@@ -151,7 +199,7 @@ object CdcOps extends QueryPack {
   private def sinkTableFor(s: SparkSession, dir: String): String =
     sinkBuilt.getOrElseUpdate(dir,
       s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
-      val work = Files.createTempDirectory("graft-sinkq61").toString
+      val work = Tables.newWorkDir("graft-sinkq61").toString
       val tableDir = s"$work/table"
       // persist across the epoch loop: each epoch would otherwise re-run
       // the full tokenize-and-derive pipeline (5× the changelog cost)
@@ -170,7 +218,7 @@ object CdcOps extends QueryPack {
   private[analytics] def replayFor(s: SparkSession, dir: String): Replay =
     replayed.getOrElseUpdate(dir,
       s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
-      val work = Files.createTempDirectory("graft-cdcops").toString
+      val work = Tables.newWorkDir("graft-cdcops").toString
       val logDir = Paths.get(s"$work/log")
       Files.createDirectories(logDir)
       val t0 = System.currentTimeMillis()
@@ -389,16 +437,13 @@ object CdcOps extends QueryPack {
       }
       val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
       val chunk = maxDid / 4 + 1
-      val scd = epochBatches(s, dir, log).foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
-        case (prior, (k, batch)) =>
-          // below-watermark filter = the ingest dedup's contract: epoch
-          // k's applied events all sit at/above its chunk boundary
-          val fresh = batch.filter($"lsn" >= k * chunk * 3)
-          Some(prior match {
-            case None => Scd2.fromChangelog(fresh, Seq("doc_id"), "lsn")
-            case Some(p) => Scd2.merge(p, fresh, Seq("doc_id"), "lsn")
-          })
-      }.get
+      // below-watermark filter = the ingest dedup's contract: epoch k's
+      // applied events all sit at/above its chunk boundary. foldEpochs
+      // truncates lineage every 8 epochs (no-op at 5; load-bearing for
+      // long folds — law-tested over 50 epochs in Scd2Spec).
+      val batches = epochBatches(s, dir, log)
+        .map { case (k, batch) => batch.filter($"lsn" >= k * chunk * 3) }
+      val scd = Scd2.foldEpochs(batches, Seq("doc_id"), "lsn")
       scd.select($"doc_id",
           md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
           $"valid_from_lsn", $"valid_to_lsn", $"is_current")
@@ -450,6 +495,43 @@ object CdcOps extends QueryPack {
         .groupBy($"tok").agg(sum($"d").as("n"))
         .filter($"n" =!= 0)
         .orderBy("tok")
+    },
+
+    // The SIZE-based compaction policy under the driver's external gate
+    // (the CompactionPolicySpec law, hash-checked): a 10-tiny-epoch replay
+    // with a per-bucket delta bound of 2 must (a) trip the policy
+    // mid-stream, (b) never let any RETAINED snapshot's per-bucket delta
+    // coverage exceed bound + one epoch's write splits (the transient
+    // pre-compact manifest is the worst case), (c) end base-only with
+    // bounded base files per bucket after the final compact, and (d) hand
+    // back exactly the survivor state — the same state CTE the 5-epoch
+    // replay is oracled against, because compaction must never change
+    // data, only its file shape. Booleans carry the file-count laws (file
+    // counts themselves are engine-layout facts DuckDB cannot recompute);
+    // the row/token sums tie them to SQL-recomputable ground truth.
+    "q74_compaction_maintenance" -> { (s, dir) =>
+      import s.implicits._
+      val work = compactionFor(s, dir)
+      val table = new SnapshotTable(s"$work/table", 8)
+      val m = table.manifest.get
+      val history = (0L to m.version).map(table.manifestAt)
+      def maxCoverage(mm: Manifest): Int =
+        (0 until mm.numBuckets).map(b => mm.files.count(f => f.isDelta && f.covers(b))).max
+      def deltaCount(mm: Manifest): Int = mm.files.count(_.isDelta)
+      val firedMidstream = history.dropRight(1).sliding(2).exists {
+        case Seq(a, b) => deltaCount(b) < deltaCount(a); case _ => false
+      }
+      val readAmpBounded = history.forall(maxCoverage(_) <= q74DeltaBound + q74Splits)
+      val basesPerBucketOk = m.files.filterNot(_.isDelta)
+        .groupBy(_.bucket).valuesIterator.forall(_.size <= q74Splits)
+      table.read(s)
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").cast("long").as("sum_n_tok"))
+        .withColumn("no_deltas_after_compact", lit(deltaCount(m) == 0))
+        .withColumn("policy_fired_midstream", lit(firedMidstream))
+        .withColumn("read_amp_bounded", lit(readAmpBounded))
+        .withColumn("bases_per_bucket_ok", lit(basesPerBucketOk))
+        .withColumn("rows_match_manifest",
+          $"n_docs" === lit(m.files.filterNot(_.isDelta).map(_.rows).sum))
     }
   )
 
@@ -601,6 +683,21 @@ object CdcOps extends QueryPack {
     "q64_scd2_history" -> scd2Sql,
     "q68_scd2_incremental" -> scd2Sql,
     "q73_scd2_streaming" -> scd2Sql,
+
+    // Compaction changes file shape, never data: the survivor-state sums
+    // must match the plain SQL recompute, and the file-count laws (engine
+    // layout, not SQL-visible) ride as always-true booleans the engine
+    // side must independently derive from its manifest history.
+    "q74_compaction_maintenance" ->
+      s"""WITH $duckSurvivorState
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+         |  true AS no_deltas_after_compact,
+         |  true AS policy_fired_midstream,
+         |  true AS read_amp_bounded,
+         |  true AS bases_per_bucket_ok,
+         |  true AS rows_match_manifest
+         |FROM state""".stripMargin,
 
     // Full recompute from the survivor state — deliberately NOT the
     // delta path: hash-equality here is exactly the IVM invariant.

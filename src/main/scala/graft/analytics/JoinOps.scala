@@ -187,32 +187,37 @@ object JoinOps extends QueryPack {
     * broadcast-nested-loop: O(|L|·|R|) per key and a driver-sized
     * broadcast at 10^10 rows). At equal ord the right row wins (tag 0
     * sorts first), matching ASOF JOIN's `>=` bound. Right payload columns
-    * come back prefixed (`asof_` + name, including `asof_<ord>`); a null
-    * right payload value is treated as absent (documented limitation of
-    * the ignoreNulls carry).
+    * come back prefixed (`asof_` + name, including `asof_<ord>`).
+    *
+    * The carry is ONE `last(struct(...), ignoreNulls)` of the whole right
+    * row, not a window per column: per-column carries would stitch fields
+    * from DIFFERENT right rows whenever the newest right row holds a null
+    * in one payload column (an inconsistent-row hazard), and N windows
+    * over the same spec cost N buffer passes where one struct costs one.
     */
   def asofJoin(left: org.apache.spark.sql.DataFrame,
       right: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
       ordCol: String, prefix: String = "asof_"): org.apache.spark.sql.DataFrame = {
-    val payload = right.columns.filterNot(keyCols.contains).filterNot(_ == ordCol)
+    val payload = right.columns.filterNot(keyCols.contains).filterNot(_ == ordCol).toSeq
+    val carriedCols = ordCol +: payload
     val rTagged = right.select(
-      keyCols.map(col) ++ Seq(col(ordCol), lit(0).as("__tag"), col(ordCol).as(s"$prefix$ordCol")) ++
-        payload.map(c => col(c).as(s"$prefix$c")): _*)
+      keyCols.map(col) ++ Seq(col(ordCol), lit(0).as("__tag"),
+        struct(carriedCols.map(col): _*).as("__asof")): _*)
+    val asofType = rTagged.schema("__asof").dataType
     val leftCols = left.columns.filterNot(keyCols.contains).filterNot(_ == ordCol)
     val lTagged = left.select(
       keyCols.map(col) ++ Seq(col(ordCol), lit(1).as("__tag"),
-        lit(null).cast(right.schema(ordCol).dataType).as(s"$prefix$ordCol")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")) ++
+        lit(null).cast(asofType).as("__asof")) ++
         leftCols.map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(ordCol), col("__tag"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val carried = (s"$prefix$ordCol" +: payload.map(p => s"$prefix$p")).foldLeft(
-      lTagged.unionByName(rTagged, allowMissingColumns = true)) {
-      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1).drop("__tag")
+    val carried = lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+    carried.filter(col("__tag") === 1)
+      .select(keyCols.map(col) ++ Seq(col(ordCol)) ++ leftCols.map(col) ++
+        carriedCols.map(c => col(s"__asof.$c").as(s"$prefix$c")): _*)
   }
 
   def oracles: Map[String, String] = Map(

@@ -43,7 +43,7 @@ object SourceOps extends QueryPack {
           concat($"n_name", lit(", \""), $"n_regionkey".cast("string"), lit("\" zone"))
             .as("display_name"),
           $"n_regionkey")
-        val t = Files.createTempDirectory("graft-csv").toString
+        val t = Tables.newWorkDir("graft-csv").toString
         n.coalesce(1).write.mode("overwrite")
           .option("header", true).option("quoteAll", true).option("escape", "\"")
           .csv(t)

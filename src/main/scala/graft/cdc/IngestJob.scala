@@ -47,7 +47,13 @@ object IngestJob {
       mode: String = MergeEngine.ModeMor,
       writeSplits: Int = 4,
       compaction: CompactionPolicy = CompactionPolicy(),
-      persistBatches: Boolean = true)
+      persistBatches: Boolean = true,
+      // corpus-specific validity cap on token count (see [[validExpr]]) —
+      // a constant of the wire contract, not of the engine
+      maxTok: Int = DefaultMaxTok)
+
+  /** Default [[Config.maxTok]]: the fixture corpus's document-length cap. */
+  val DefaultMaxTok: Int = 8192
 
   /** Row-level validity predicate — the reference's ON_ERROR='CONTINUE'
     * COPY tolerance (nyc_taxi_sync_dag.py:47) and pydantic wire validation
@@ -56,7 +62,7 @@ object IngestJob {
     * table (dbt tests not_null/in_range/positive_value analog,
     * FIXTURES.md §2).
     */
-  def validExpr(df: DataFrame): org.apache.spark.sql.Column = {
+  def validExpr(df: DataFrame, maxTok: Int = DefaultMaxTok): org.apache.spark.sql.Column = {
     val hasTok = df.columns.contains("tokens")
     val base = col("doc_id").isNotNull &&
       col("lsn").isNotNull && col("partition").isNotNull &&
@@ -65,7 +71,7 @@ object IngestJob {
       (col("op") === Model.OpDelete) ||
         (col("tokens").isNotNull && col("n_tok").isNotNull && col("source").isNotNull &&
           col("n_tok") === size(col("tokens")) &&
-          col("n_tok").between(1, 8192))
+          col("n_tok").between(1, maxTok))
     } else lit(true)
     base && payloadOk
   }
@@ -93,11 +99,11 @@ object IngestJob {
       // re-read, not the local cache spill, is the expensive side.
       val src = if (cfg.persistBatches) batch.persist() else batch
       try {
-        val valid = src.filter(validExpr(src))
+        val valid = src.filter(validExpr(src, cfg.maxTok))
         cfg.quarantineDir.foreach { qd =>
           // Epoch-suffixed dir: a replayed epoch overwrites its own quarantine
           // output instead of double-appending (idempotent side channel).
-          src.filter(!validExpr(src))
+          src.filter(!validExpr(src, cfg.maxTok))
             .write.mode("overwrite").parquet(s"$qd/epoch=$epochId")
         }
         MergeEngine.merge(spark, table, valid, cfg.queryId, epochId,

@@ -55,9 +55,20 @@ object ScaleBench {
     def engineVsMachine: Double = efficiency / machineEnvelope
   }
 
-  final case class Series(events: Long, eps: Map[Int, Double], pairs: Seq[PairResult]) {
+  final case class Series(events: Long, eps: Map[Int, Double], pairs: Seq[PairResult],
+      /** Per-round failures (a refused/aborted round is evidence too — an
+        * all-failed series must still say WHAT failed, per round, instead
+        * of one error string).
+        */
+      failures: Seq[String] = Nil,
+      /** True when the series stopped early because the caller's
+        * wall-clock budget ran out (rounds completed so far are kept).
+        */
+      deadlineHit: Boolean = false) {
     def toJson: String = {
       def r3(x: Double) = math.round(x * 1000) / 1000.0
+      def jstr(s: String) =
+        "\"" + s.replaceAll("[\"\\\\]", " ").replaceAll("[\\n\\r\\t]", " ").take(160) + "\""
       val epsJson = eps.toSeq.sortBy(_._1)
         .map { case (c, e) => s""""$c":${e.round}""" }.mkString("{", ",", "}")
       val pairsJson = pairs.map { p =>
@@ -72,7 +83,11 @@ object ScaleBench {
           s""""pooled_efficiency":${r3(p.pooledEfficiency)},""" +
           s""""rounds":$roundsJson}"""
       }.mkString("[", ",", "]")
-      s"""{"events":$events,"valid_window_envelope":[$ValidWindowEnvelope,$ValidWindowEnvelopeHigh],"eps":$epsJson,"pairs":$pairsJson}"""
+      val failJson =
+        if (failures.isEmpty) ""
+        else s""","failed_rounds":${failures.map(jstr).mkString("[", ",", "]")}"""
+      val deadlineJson = if (deadlineHit) s""","deadline_hit":true""" else ""
+      s"""{"events":$events,"valid_window_envelope":[$ValidWindowEnvelope,$ValidWindowEnvelopeHigh],"eps":$epsJson,"pairs":$pairsJson$failJson$deadlineJson}"""
     }
   }
 
@@ -159,7 +174,14 @@ object ScaleBench {
     */
   def runSeries(numEvents: Long, numFiles: Int, perTrigger: Int,
       cores: Seq[Int], repeats: Int, workBase: Option[Path],
-      stageTiming: Boolean = false): Series = {
+      stageTiming: Boolean = false,
+      /** Absolute System.nanoTime() budget: no new width starts past it
+        * (completed rounds are kept and reported, `deadline_hit` set). A
+        * width already running is not preempted — callers size their
+        * budget with one replay of slack.
+        */
+      deadlineNanos: Option[Long] = None): Series = {
+    def pastDeadline = deadlineNanos.exists(System.nanoTime() >= _)
     workBase.foreach(Files.createDirectories(_))
     val work = workBase
       .map(b => Files.createTempDirectory(b, "graft-scale"))
@@ -209,8 +231,13 @@ object ScaleBench {
     // session whose every within-round ratio was ≥0.85). The pooled
     // number is still reported for transparency, all rounds disclosed.
     val ordered = cores.sorted
+    // A round stops adding widths once the deadline passes: its completed
+    // widths still count for eps, but pairs only form within COMPLETE
+    // rounds (window-pairing needs both samples adjacent in time).
     def oneRound(rep: Int): Map[Int, (Double, Double)] = {
-      ordered.map { c =>
+      // iterator: the deadline predicate must run right before EACH width
+      // starts, not be pre-evaluated for the whole round
+      ordered.iterator.takeWhile(_ => !pastDeadline).map { c =>
         val spark = tuned(c, workBase)
         val runId = java.util.UUID.randomUUID().toString.take(8)
         val (secs, rows) =
@@ -263,8 +290,9 @@ object ScaleBench {
       ordered.lengthCompare(2) < 0 || {
         val lo = ordered(0)
         val hi = ordered(1)
-        def bestAt(c: Int) = rs.map(_(c)._1).max
-        rs.exists { r =>
+        val complete = rs.filter(r => r.contains(lo) && r.contains(hi))
+        def bestAt(c: Int) = complete.map(_(c)._1).max
+        complete.exists { r =>
           val env = (r(hi)._2 / r(lo)._2) / (hi.toDouble / lo)
           val floor = math.min(r(lo)._1 / bestAt(lo), r(hi)._1 / bestAt(hi))
           env >= ValidWindowEnvelope && env <= ValidWindowEnvelopeHigh &&
@@ -275,51 +303,57 @@ object ScaleBench {
     // pressure, the harness killing a sibling): drop THAT round and keep
     // the series — a partial series with window-validity flags is
     // evidence, an aborted one is not. Failures still count toward the
-    // round cap so a persistently-broken environment terminates.
+    // round cap so a persistently-broken environment terminates, and each
+    // one is DISCLOSED in the output (an all-failed series must report
+    // what failed per round, not collapse to one error string).
     var rounds: Seq[Map[Int, (Double, Double)]] = Seq.empty
+    var failures: Seq[String] = Seq.empty
     var rep = 0
-    var lastFailure: Option[Throwable] = None
-    while (rep < repeats || (rep < maxRounds && !headlineWindowSeen(rounds))) {
+    while ((rep < repeats || (rep < maxRounds && !headlineWindowSeen(rounds))) &&
+        !pastDeadline) {
       rep += 1
       if (rep > repeats) System.err.println(
         s"[scale] no clean window in $repeats rounds — extending (round $rep/$maxRounds)")
       scala.util.Try(oneRound(rep)) match {
         case scala.util.Success(r) => rounds = rounds :+ r
         case scala.util.Failure(e) =>
-          lastFailure = Some(e)
+          failures = failures :+ s"round $rep: ${String.valueOf(e.getMessage).take(120)}"
           System.err.println(s"[scale] round $rep failed (dropped): ${e.getMessage}")
       }
     }
-    if (rounds.isEmpty)
-      throw new IllegalStateException(
-        s"all $rep scaling rounds failed", lastFailure.orNull)
+    val deadlineHit = pastDeadline
+    if (deadlineHit) System.err.println(
+      s"[scale] wall-clock budget exhausted after $rep rounds — reporting what completed")
 
-    val eps: Map[Int, Double] =
-      ordered.map(c => c -> rounds.map(_(c)._1).max).toMap
-    val pairs = ordered.sliding(2).collect { case Seq(lo, hi) =>
-      val ratio = hi.toDouble / lo
-      val roundPairs = rounds.map { r =>
-        RoundPair(
-          efficiency = (r(hi)._1 / r(lo)._1) / ratio,
-          machineEnvelope = (r(hi)._2 / r(lo)._2) / ratio,
-          engineFloor = math.min(r(lo)._1 / eps(lo), r(hi)._1 / eps(hi)))
-      }
-      // headline = best efficiency among VALID-window rounds (envelope
-      // band AND engine floor); only when no window was clean (cap
-      // reached) fall back to all rounds, with window_valid=false
-      // flagging the number as noise-dominated
-      val validRounds = roundPairs.filter(_.windowValid)
-      val best = (if (validRounds.nonEmpty) validRounds else roundPairs).maxBy(_.efficiency)
-      PairResult(lo, hi,
-        efficiency = best.efficiency,
-        machineEnvelope = best.machineEnvelope,
-        pooledEfficiency = (eps(hi) / eps(lo)) / ratio,
-        rounds = roundPairs,
-        windowValid = best.windowValid)
+    val eps: Map[Int, Double] = ordered
+      .map(c => c -> rounds.flatMap(_.get(c)).map(_._1))
+      .collect { case (c, xs) if xs.nonEmpty => c -> xs.max }.toMap
+    val pairs = ordered.sliding(2).collect {
+      case Seq(lo, hi) if rounds.exists(r => r.contains(lo) && r.contains(hi)) =>
+        val ratio = hi.toDouble / lo
+        val complete = rounds.filter(r => r.contains(lo) && r.contains(hi))
+        val roundPairs = complete.map { r =>
+          RoundPair(
+            efficiency = (r(hi)._1 / r(lo)._1) / ratio,
+            machineEnvelope = (r(hi)._2 / r(lo)._2) / ratio,
+            engineFloor = math.min(r(lo)._1 / eps(lo), r(hi)._1 / eps(hi)))
+        }
+        // headline = best efficiency among VALID-window rounds (envelope
+        // band AND engine floor); only when no window was clean (cap
+        // reached) fall back to all rounds, with window_valid=false
+        // flagging the number as noise-dominated
+        val validRounds = roundPairs.filter(_.windowValid)
+        val best = (if (validRounds.nonEmpty) validRounds else roundPairs).maxBy(_.efficiency)
+        PairResult(lo, hi,
+          efficiency = best.efficiency,
+          machineEnvelope = best.machineEnvelope,
+          pooledEfficiency = (eps(hi) / eps(lo)) / ratio,
+          rounds = roundPairs,
+          windowValid = best.windowValid)
     }.toSeq
     // free the work dir eagerly (tmpfs runs would otherwise pin RAM)
     scala.util.Try(graft.util.Tables.deleteRecursively(work))
-    Series(delivered, eps, pairs)
+    Series(delivered, eps, pairs, failures, deadlineHit)
   }
 
   private def addTimingListeners(spark: SparkSession, cores: Int): Unit = {

@@ -72,11 +72,14 @@ object Scd2 {
     val from = s"valid_from_$ordCol"
     val to = s"valid_to_$ordCol"
     // first event per touched key closes that key's open interval; the
-    // key set of one epoch is bounded, so this agg is map-side combinable
-    // and the join against open rows is a key-partitioned equi-join
-    val firstOrd = changes
+    // key set of one epoch is bounded by batch size — typically tiny next
+    // to the open set — so BROADCAST it explicitly: at 10^9 open rows an
+    // AQE-missed sort-merge fallback would shuffle the entire open set to
+    // close a handful of keys. (A pathological epoch-sized batch should be
+    // split upstream, not absorbed by a silent full shuffle here.)
+    val firstOrd = broadcast(changes
       .groupBy(keyCols.map(col): _*)
-      .agg(min(col(ordCol)).as("__first_ord"))
+      .agg(min(col(ordCol)).as("__first_ord")))
     val closed = prior
       .join(firstOrd, keyCols, "left")
       .withColumn(to,
@@ -85,5 +88,31 @@ object Scd2 {
       .withColumn("is_current", col("is_current") && col("__first_ord").isNull)
       .drop("__first_ord")
     closed.unionByName(fromChangelog(changes, keyCols, ordCol, opCol, deleteOp))
+  }
+
+  /** Fold an ordered sequence of epoch batches through [[merge]], with
+    * lineage truncation every `checkpointEvery` epochs: each merge stacks
+    * a union + join on the prior plan, so an unbounded fold (a streaming
+    * maintainer looping for months) grows an O(epochs)-deep logical plan
+    * that eventually drowns the driver in analysis time. `localCheckpoint`
+    * materializes the fold state and cuts the lineage — the batch analog
+    * of [[Scd2Stream]]'s per-epoch parquet materialization. Same epoch
+    * contract as [[merge]] (ords strictly increase across batches).
+    */
+  def foldEpochs(epochs: Seq[DataFrame], keyCols: Seq[String], ordCol: String,
+      opCol: String = "op", deleteOp: String = "D",
+      checkpointEvery: Int = 8): DataFrame = {
+    require(epochs.nonEmpty, "foldEpochs needs at least one epoch batch")
+    epochs.zipWithIndex.foldLeft(Option.empty[DataFrame]) {
+      case (prior, (batch, i)) =>
+        val next = prior match {
+          case None => fromChangelog(batch, keyCols, ordCol, opCol, deleteOp)
+          case Some(p) => merge(p, batch, keyCols, ordCol, opCol, deleteOp)
+        }
+        Some(
+          if (checkpointEvery > 0 && (i + 1) % checkpointEvery == 0 &&
+              i + 1 < epochs.size) next.localCheckpoint()
+          else next)
+    }.get
   }
 }

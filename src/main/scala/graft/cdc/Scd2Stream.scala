@@ -5,10 +5,10 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BooleanType, DataType, StructField, StructType}
 
 /** Streaming maintenance of a type-2 temporal table: tail the ordered
   * changelog and fold each micro-batch through [[Scd2.merge]] — the
@@ -17,17 +17,33 @@ import org.apache.spark.sql.types.StructType
   * analog is a `snapshots/` model re-run per sync (the reference runs its
   * loop monthly, dags/nyc_taxi_sync_dag.py:40-55); here it is continuous.
   *
-  * Storage layout is what makes the fold O(batch + open rows) per epoch
-  * instead of O(history):
+  * Storage layout is what makes the fold O(batch + touched open buckets)
+  * per epoch instead of O(history) — or O(live keys), which was the
+  * round-4 shape (the whole open set rewritten every epoch; at 10^9 live
+  * keys × 5 s epochs that is an unbounded write-amplification tax the
+  * MERGE path had already eliminated via bucketing):
+  *
   *   - `closed/epoch=N/` — versions closed during epoch N. Append-only:
   *     closed intervals are immutable facts, never rewritten. A replayed
   *     epoch OVERWRITES its own dir (idempotent side channel).
-  *   - `open/epoch=N/`  — the full open set as of epoch N (one row per
-  *     live key; bounded by key count, not history).
+  *   - `open/epoch=N/_b=B/` — open rows of hash bucket B as of epoch N,
+  *     written ONLY for the buckets epoch N's batch touches. Untouched
+  *     buckets carry forward BY FILE IDENTITY: the meta's bucket map
+  *     keeps pointing at the epoch that last wrote them, so an epoch's
+  *     write cost is O(batch + touched buckets), never O(live keys).
+  *   - `_scd2_schema.json` — the table schema (written once at start),
+  *     so reads never depend on parquet inference: an epoch that closes
+  *     nothing (or a bucket emptied by deletes) leaves a part-less dir,
+  *     which inference rejects but a schema-given read returns as empty.
   *   - `_scd2_meta.json` — fence (last applied epoch) + per-partition
-  *     applied-LSN watermarks, moved into place atomically LAST, so a
-  *     crash between data and meta replays the epoch onto the previous
-  *     pointer (the overwrite-by-epoch layout absorbs it).
+  *     applied-LSN watermarks + the bucket→epoch map, moved into place
+  *     atomically LAST, so a crash between data and meta replays the
+  *     epoch onto the previous pointer (the overwrite-by-epoch layout
+  *     absorbs it), and readers only ever see committed state: the
+  *     current read is driven entirely by the meta (bucket map for open
+  *     rows, `epoch <= lastEpoch` fence for closed dirs), so an
+  *     uncommitted `closed/epoch=N` left by a crash is invisible until
+  *     its epoch actually commits.
   *
   * Dedup contract (same as the ingest's): events of one source partition
   * arrive in non-decreasing LSN order across batches, and a key is sticky
@@ -50,63 +66,143 @@ object Scd2Stream {
       schema: StructType = Model.changeEventSchema,
       maxFilesPerTrigger: Option[Int] = None,
       availableNow: Boolean = true,
-      processingTime: String = "5 seconds")
+      processingTime: String = "5 seconds",
+      numBuckets: Int = 16)
 
-  private case class Meta(lastEpoch: Long, watermarks: Map[Int, Long])
+  private[cdc] case class Meta(lastEpoch: Long, watermarks: Map[Int, Long],
+      buckets: Map[Int, Long])
 
   private def metaPath(tableDir: String): Path = Paths.get(tableDir, "_scd2_meta.json")
+  private def schemaPath(tableDir: String): Path = Paths.get(tableDir, "_scd2_schema.json")
 
-  private def readMeta(tableDir: String): Option[Meta] = {
+  private def mapBlock(s: String, name: String): Map[Int, Long] =
+    (s""""$name":\\{([^}]*)\\}""").r.findFirstMatchIn(s).map(_.group(1)).map { body =>
+      """"(\d+)":(-?\d+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    }.getOrElse(Map.empty)
+
+  private[cdc] def readMeta(tableDir: String): Option[Meta] = {
     val p = metaPath(tableDir)
     if (!Files.exists(p)) None
     else {
       val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       val epoch = """"lastEpoch":(-?\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
-      val wms = """"(\d+)":(-?\d+)""".r.findAllMatchIn(s)
-        .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
-      Some(Meta(epoch, wms))
+      Some(Meta(epoch, mapBlock(s, "watermarks"), mapBlock(s, "buckets")))
     }
   }
 
   private def writeMeta(tableDir: String, m: Meta): Unit = {
-    val wmJson = m.watermarks.toSeq.sortBy(_._1)
-      .map { case (p, w) => s""""$p":$w""" }.mkString("{", ",", "}")
-    val json = s"""{"lastEpoch":${m.lastEpoch},"watermarks":$wmJson}"""
+    def mapJson(kv: Map[Int, Long]) = kv.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val json = s"""{"lastEpoch":${m.lastEpoch},"watermarks":${mapJson(m.watermarks)},""" +
+      s""""buckets":${mapJson(m.buckets)}}"""
     val tmp = Files.createTempFile(Paths.get(tableDir), ".meta", ".tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, metaPath(tableDir),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** The current temporal table: all immutable closed versions plus the
-    * latest open set. Old `open/epoch=K` dirs are retained snapshots of
-    * the open frontier (cheap time travel over the live edge); only the
-    * fenced latest participates in the current read.
+  /** The table schema [[Scd2.fromChangelog]] produces for `cfg.schema`
+    * input: payload columns (op dropped), ord renamed `valid_from_<ord>`,
+    * plus `valid_to_<ord>` and `is_current` — all nullable, since explicit
+    * parquet-read schemas must tolerate the open rows' null `valid_to`.
+    */
+  private[cdc] def tableSchema(cfg: Config, opCol: String = "op"): StructType = {
+    val ordType = cfg.schema(cfg.ordCol).dataType
+    val base = cfg.schema.fields.toSeq.filterNot(_.name == opCol).map { f =>
+      val renamed = if (f.name == cfg.ordCol) f.copy(name = s"valid_from_${cfg.ordCol}") else f
+      renamed.copy(dataType = SnapshotTable.relaxNulls(renamed.dataType), nullable = true)
+    }
+    StructType(base :+
+      StructField(s"valid_to_${cfg.ordCol}", ordType, nullable = true) :+
+      StructField("is_current", BooleanType, nullable = true))
+  }
+
+  private def bucketExpr(keyCols: Seq[String], numBuckets: Int): Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
+
+  private def readSchema(tableDir: String): StructType = {
+    val p = schemaPath(tableDir)
+    require(Files.exists(p), s"no _scd2_schema.json at $tableDir")
+    DataType.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+  }
+
+  private def openBucketDir(tableDir: String, epoch: Long, bucket: Int): String =
+    s"$tableDir/open/epoch=$epoch/_b=$bucket"
+
+  /** The current temporal table: all committed closed versions plus the
+    * live open set, as ONE multi-path parquet relation (plan depth 1 —
+    * the round-4 shape folded a `unionByName` per closed epoch, an
+    * O(epochs)-deep logical plan that no driver survives at a month of
+    * 5 s epochs). Open rows come from the meta's bucket map (each bucket
+    * read from the epoch that last wrote it); closed dirs are fenced to
+    * `epoch <= lastEpoch`, so an uncommitted `closed/epoch=N` left by a
+    * crash between the data write and the meta move is invisible until
+    * that epoch commits.
     */
   def read(spark: SparkSession, tableDir: String): DataFrame = {
     val meta = readMeta(tableDir).getOrElse(
       throw new IllegalStateException(s"no scd2 table at $tableDir"))
-    val open = spark.read.parquet(s"$tableDir/open/epoch=${meta.lastEpoch}")
+    val sch = readSchema(tableDir)
+    val openPaths = meta.buckets.toSeq.sortBy(_._1)
+      .map { case (b, e) => openBucketDir(tableDir, e, b) }
     val closedRoot = Paths.get(tableDir, "closed")
-    val closedDirs =
+    val closedPaths =
       if (!Files.exists(closedRoot)) Seq.empty
-      else {
-        val s = Files.list(closedRoot)
-        try s.iterator().asScala.map(_.toString).filter(_.contains("epoch=")).toList
-        finally s.close()
+      else graft.util.Tables.listClosed(closedRoot)(
+        _.map(_.getFileName.toString)
+          .flatMap(n => scala.util.Try(n.stripPrefix("epoch=").toLong).toOption)
+          .filter(_ <= meta.lastEpoch) // fence: only committed epochs
+          .toSeq.sorted.map(e => s"$tableDir/closed/epoch=$e"))
+    val paths = openPaths ++ closedPaths
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+    else spark.read.schema(sch).parquet(paths: _*)
+  }
+
+  /** Delete open bucket dirs no longer referenced by the committed meta
+    * (each epoch supersedes the touched buckets' previous versions; the
+    * old files are retained until this maintenance call, like snapshot
+    * expiry on the MERGE path). Never touches the referenced set or
+    * anything at/above the fence. Returns dirs removed.
+    */
+  def vacuumOpen(tableDir: String): Int = {
+    val meta = readMeta(tableDir).getOrElse(return 0)
+    val live: Set[String] = meta.buckets.toSeq
+      .map { case (b, e) => Paths.get(openBucketDir(tableDir, e, b)).toString }.toSet
+    val openRoot = Paths.get(tableDir, "open")
+    if (!Files.exists(openRoot)) return 0
+    var removed = 0
+    graft.util.Tables.listClosed(openRoot)(_.filter(Files.isDirectory(_)).toSeq)
+      .filter { d =>
+        val n = d.getFileName.toString
+        scala.util.Try(n.stripPrefix("epoch=").toLong).toOption.exists(_ < meta.lastEpoch)
       }
-    // explicit schema: an epoch that closed nothing leaves a part-less
-    // dir, which schema INFERENCE rejects but a schema-given read returns
-    // as empty — and the open/closed schemas are identical by construction
-    closedDirs.foldLeft(open)((acc, d) =>
-      acc.unionByName(spark.read.schema(open.schema).parquet(d)))
+      .foreach { epochDir =>
+        graft.util.Tables.listClosed(epochDir)(_.filter(Files.isDirectory(_)).toSeq)
+          .filterNot(b => live.contains(b.toString))
+          .foreach { b => graft.util.Tables.deleteRecursively(b.toString); removed += 1 }
+        if (graft.util.Tables.listClosed(epochDir)(_.forall(p =>
+            !Files.isDirectory(p)))) // only _SUCCESS/stray files left
+          graft.util.Tables.deleteRecursively(epochDir.toString)
+      }
+    removed
   }
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
     Files.createDirectories(Paths.get(cfg.tableDir))
+    if (!Files.exists(schemaPath(cfg.tableDir))) {
+      val tmp = Files.createTempFile(Paths.get(cfg.tableDir), ".schema", ".tmp")
+      Files.write(tmp, tableSchema(cfg).json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, schemaPath(cfg.tableDir),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     var reader = spark.readStream.schema(cfg.schema)
     cfg.maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
     val stream = reader.parquet(cfg.logDir)
+    val sch = tableSchema(cfg)
+    val bucket = bucketExpr(cfg.keyCols, cfg.numBuckets)
 
     val applyBatch: (Dataset[Row], Long) => Unit = { (batch, epochId) =>
       val meta = readMeta(cfg.tableDir)
@@ -135,26 +231,42 @@ object Scd2Stream {
             acc && (col(cfg.partitionCol) =!= p || col(cfg.ordCol) > w)
           }
           val fresh = valid.filter(wmExpr)
-          val priorOpen = meta.map(m =>
-            spark.read.parquet(s"${cfg.tableDir}/open/epoch=${m.lastEpoch}"))
-          val merged = (priorOpen match {
-            case None => Scd2.fromChangelog(fresh, cfg.keyCols, cfg.ordCol)
-            case Some(open) => Scd2.merge(open, fresh, cfg.keyCols, cfg.ordCol)
+          // ONE bounded action yields both the applied watermarks and the
+          // touched-bucket set (≤ numPartitions rows on the driver)
+          val stats = fresh.groupBy(col(cfg.partitionCol))
+            .agg(max(col(cfg.ordCol)).as("w"), collect_set(bucket).as("bs"))
+            .collect()
+          val applied = stats.map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val touched: Set[Int] = stats.flatMap(_.getSeq[Int](2)).toSet
+          val bucketEpochs = meta.map(_.buckets).getOrElse(Map.empty[Int, Long])
+          // prior open rows of ONLY the touched buckets — keys outside
+          // them cannot appear in the batch, so Scd2.merge sees exactly
+          // the open rows it can close
+          val priorPaths = touched.toSeq.sorted
+            .flatMap(b => bucketEpochs.get(b).map(e => openBucketDir(cfg.tableDir, e, b)))
+          val merged = (priorPaths match {
+            case Nil => Scd2.fromChangelog(fresh, cfg.keyCols, cfg.ordCol)
+            case ps => Scd2.merge(spark.read.schema(sch).parquet(ps: _*),
+              fresh, cfg.keyCols, cfg.ordCol)
           }).persist()
           try {
             merged.filter(!col("is_current"))
               .write.mode("overwrite").parquet(s"${cfg.tableDir}/closed/epoch=$epochId")
             merged.filter(col("is_current"))
-              .write.mode("overwrite").parquet(s"${cfg.tableDir}/open/epoch=$epochId")
-            // advance watermarks from the APPLIED events, then fence —
-            // meta moves last so a crash replays onto the old pointer
-            val applied = fresh.groupBy(col(cfg.partitionCol))
-              .agg(max(col(cfg.ordCol)).as("w"))
-              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+              .withColumn("_b", bucket)
+              .write.partitionBy("_b").mode("overwrite")
+              .parquet(s"${cfg.tableDir}/open/epoch=$epochId")
+            // a touched bucket with no surviving open rows leaves no dir
+            // (all its keys deleted) — drop it from the map entirely
+            val emptied = touched.filterNot(b =>
+              Files.exists(Paths.get(openBucketDir(cfg.tableDir, epochId, b))))
+            val newBuckets = (bucketEpochs ++ touched.map(_ -> epochId)) -- emptied
             val newWms = (wms.keySet ++ applied.keySet).map(p =>
               p -> math.max(wms.getOrElse(p, Long.MinValue),
                 applied.getOrElse(p, Long.MinValue))).toMap
-            writeMeta(cfg.tableDir, Meta(epochId, newWms))
+            // meta (fence + watermarks + bucket map) moves last — a crash
+            // before this point replays the epoch onto the old pointer
+            writeMeta(cfg.tableDir, Meta(epochId, newWms, newBuckets))
           } finally merged.unpersist()
         } finally src.unpersist()
       }

@@ -143,6 +143,7 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
     // cannot arbitrate), and CREATE_NEW writes content non-atomically. A
     // hard link is both: link(2) fails with EEXIST if the target exists,
     // and on success the fully-written manifest appears in one syscall.
+    var reclaimed = false
     try { Files.createLink(mp, mtmp); Files.delete(mtmp) }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -161,7 +162,12 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
             s" (an unpublished claim by writer '$claimant' is only ${ageMs}ms old — " +
               s"a live writer may be mid-publish; reclaim opens after ${orphanClaimTtlMs}ms)")
         }
-        Files.move(mtmp, mp, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        // Post-TTL reclaim is NOT exclusive by construction (two handles
+        // can both observe the same expired claim and both pass the age
+        // gate — the round-4 advisory's lost update), so arbitrate it with
+        // a second EEXIST-atomic lease before replacing anything:
+        reclaimOrphanClaim(m, mp, mtmp)
+        reclaimed = true
     }
     if (currentVersion.forall(_ < m.version)) {
       val tmp = rootPath.resolve(s"_current.tmp.${m.version}")
@@ -175,6 +181,72 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
       val observed = currentVersion
       require(observed.exists(_ >= m.version),
         s"current pointer regressed at $root: observed $observed after publishing v${m.version}")
+    }
+    if (reclaimed) {
+      // Final arbiter on the (REPLACE_EXISTING) reclaim path: the manifest
+      // the world can now see must be OURS. If a concurrent reclaimer slid
+      // past every earlier gate and its move landed last, this handle must
+      // LOSE (rebase) rather than report a success whose files the
+      // surviving manifest does not reference.
+      val winner = scala.util.Try(Manifest.fromJson(
+        new String(Files.readAllBytes(mp), StandardCharsets.UTF_8)).writerId).getOrElse("")
+      if (winner != writerId)
+        throw new SnapshotTable.ConcurrentCommitException(root, m.version,
+          s" (post-publish verification: v${m.version} carries writer '$winner', " +
+            "not this handle — a concurrent orphan reclaim won; rebase)")
+    }
+  }
+
+  /** Arbitrated replacement of an expired (post-TTL) orphan claim. The
+    * contenders race on a SECOND hard-link lease (`_reclaim.v{N}`): the
+    * link winner alone may overwrite the orphan manifest; losers throw and
+    * rebase. A reclaimer that dies holding the lease parks the version for
+    * one more TTL, after which the lease itself is reclaimed the same way.
+    * Belt-and-braces ordering for the delete→relink window: after linking,
+    * re-read the lease and require our own writerId (a racer interleaving
+    * delete-then-link can otherwise end with two "holders"); and re-check
+    * the published pointer immediately before the move so a version
+    * published mid-race is never clobbered. [[commit]]'s post-publish
+    * writerId verification remains the final arbiter.
+    */
+  private def reclaimOrphanClaim(m: Manifest, mp: Path, mtmp: Path): Unit = {
+    val lease = rootPath.resolve(s"_reclaim.v${m.version}")
+    val ltmp = rootPath.resolve(s"_reclaim.tmp.${m.version}.${java.util.UUID.randomUUID}")
+    Files.write(ltmp, writerId.getBytes(StandardCharsets.UTF_8))
+    def lose(detail: String): Nothing = {
+      Files.deleteIfExists(mtmp); Files.deleteIfExists(ltmp)
+      throw new SnapshotTable.ConcurrentCommitException(root, m.version, detail)
+    }
+    try {
+      try Files.createLink(lease, ltmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val leaseAge = scala.util.Try(
+            System.currentTimeMillis - Files.getLastModifiedTime(lease).toMillis)
+            .getOrElse(Long.MaxValue)
+          if (leaseAge < orphanClaimTtlMs)
+            lose(s" (another writer holds the v${m.version} reclaim lease, " +
+              s"${leaseAge}ms old — it is mid-reclaim; rebase)")
+          Files.deleteIfExists(lease)
+          try Files.createLink(lease, ltmp)
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            lose(s" (lost the v${m.version} reclaim-lease race; rebase)")
+          }
+      }
+      val holder = scala.util.Try(
+        new String(Files.readAllBytes(lease), StandardCharsets.UTF_8)).getOrElse("")
+      if (holder != writerId)
+        lose(s" (reclaim lease for v${m.version} held by '$holder'; rebase)")
+      if (currentVersion.exists(_ >= m.version))
+        lose("") // published while we arbitrated — never clobber it
+      Files.move(mtmp, mp, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      Files.deleteIfExists(ltmp)
+      // release only our own lease (a TTL-expired lease may have been
+      // taken over by a contender while we still think we hold it)
+      if (scala.util.Try(new String(Files.readAllBytes(lease), StandardCharsets.UTF_8))
+          .toOption.contains(writerId))
+        Files.deleteIfExists(lease)
     }
   }
 
@@ -254,10 +326,13 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
     * not-yet-committed version (GC must not turn a racing commit into data
     * loss). With LIVE concurrent writers a rebasing loser's dir can carry
     * a numeric prefix at or below `_current` while its commit is still in
-    * flight — pass `minAgeMs` (≥ the claim TTL is a sound choice) so GC
-    * only deletes unreferenced files older than that window.
+    * flight — so `minAgeMs` DEFAULTS to the claim TTL (no in-flight commit
+    * outlives an unpublished claim by more than the TTL): GC only deletes
+    * unreferenced files older than that window. Single-writer maintenance
+    * (no concurrent committers possible) may pass 0 explicitly for
+    * immediate reclamation.
     */
-  def expireSnapshots(keepLast: Int = 1, minAgeMs: Long = 0L): (Int, Int) = {
+  def expireSnapshots(keepLast: Int = 1, minAgeMs: Long = orphanClaimTtlMs): (Int, Int) = {
     val cutoff = System.currentTimeMillis - minAgeMs
     require(keepLast >= 1, "must retain at least the current snapshot")
     val cur = currentVersion.getOrElse(sys.error(s"no such table: $root"))

@@ -41,6 +41,23 @@ object Tables {
     s"$sfDir|${parts.mkString(";")}"
   }
 
+  /** Scratch dir for engine fixtures (replay tables, stream checkpoints,
+    * CSV round-trips): GRAFT_WORK_DIR if set, else tmpfs (/dev/shm) when
+    * present, else java.io.tmpdir. The sandbox VM's virtual disk has 5×
+    * run-to-run throughput variance and streaming checkpoints fsync per
+    * epoch — tmpfs keeps the measurement on the engine, not the disk.
+    * Callers delete what they create (FingerprintMemo release hooks).
+    */
+  def newWorkDir(prefix: String): Path = {
+    val base = sys.env.get("GRAFT_WORK_DIR").map(Paths.get(_))
+      .orElse(Some(Paths.get("/dev/shm/graft-work")).filter(p =>
+        Files.isDirectory(p.getParent) && Files.isWritable(p.getParent)))
+    base match {
+      case Some(b) => Files.createDirectories(b); Files.createTempDirectory(b, prefix)
+      case None => Files.createTempDirectory(prefix)
+    }
+  }
+
   def deleteRecursively(dir: String): Unit = {
     val p = Paths.get(dir)
     if (Files.exists(p)) walkClosed(p)(_.toSeq).reverse.foreach(Files.deleteIfExists(_))

@@ -88,4 +88,36 @@ class Scd2Spec extends SparkSpec {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashExchanges === 1, s"expected 1 hash exchange, plan:\n$p")
   }
+
+  test("merge plan: the close join broadcasts the touched-key side, never sort-merges the open set") {
+    import spark.implicits._
+    val prior = Scd2.fromChangelog(log, Seq("doc_id"), "lsn")
+    val changes = Seq(("a", 10L, "U", "a10")).toDF("doc_id", "lsn", "op", "payload")
+    val merged = Scd2.merge(prior, changes, Seq("doc_id"), "lsn")
+    merged.count()
+    val p = merged.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"close join not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"open set sort-merged against the per-epoch key set:\n${p.take(1500)}")
+  }
+
+  test("foldEpochs: 50-epoch fold with lineage truncation equals the one-shot rebuild") {
+    import spark.implicits._
+    val events = (0 until 500).map { i =>
+      val op = if (i % 19 == 0) "D" else if (i % 3 == 0) "U" else "I"
+      (s"k${i % 13}", i.toLong, op, s"p$i")
+    }
+    val full = events.toDF("doc_id", "lsn", "op", "payload")
+    // 50 strictly-increasing lsn ranges — without localCheckpoint this
+    // fold stacks 50 unions+joins into one logical plan (the analysis-time
+    // blowup a long-lived incremental maintainer would hit)
+    val epochs = (0 until 50).map(e =>
+      full.filter($"lsn" >= e * 10 && $"lsn" < (e + 1) * 10))
+    val folded = Scd2.foldEpochs(epochs, Seq("doc_id"), "lsn", checkpointEvery = 8)
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = d.columns.sorted
+      d.select(cols.head, cols.tail: _*).collect().map(_.toString).sorted.toSeq
+    }
+    assert(canon(folded) === canon(Scd2.fromChangelog(full, Seq("doc_id"), "lsn")))
+  }
 }

@@ -61,8 +61,14 @@ class TimeTravelSpec extends SparkSpec {
 
     val before = table.read(spark).orderBy("doc_id").collect()
     val liveFiles = table.manifest.get.files.map(_.path).toSet
-    val (mDel, fDel) = table.expireSnapshots(keepLast = 1)
+    // the DEFAULT minAgeMs (= claim TTL) must refuse to delete fresh
+    // unreferenced files: a live rebasing loser's data could look exactly
+    // like this seconds-old garbage
+    val (mDel, fDelGuarded) = table.expireSnapshots(keepLast = 1)
     assert(mDel > 0, "expected expired manifests")
+    assert(fDelGuarded == 0, "default-age GC deleted files younger than the claim TTL")
+    // single-writer maintenance: explicit minAgeMs=0 reclaims immediately
+    val (_, fDel) = table.expireSnapshots(keepLast = 1, minAgeMs = 0L)
     assert(fDel > 0, "expected garbage data files deleted")
     // every live file still present; live read identical
     liveFiles.foreach(p => assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p)), p))
