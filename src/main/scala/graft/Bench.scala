@@ -5,14 +5,38 @@ import org.apache.spark.sql.SparkSession
 /** Driver bench surface: one JSON line with per-query wall times at the
   * target SF, PLUS the north-rule two-cluster-size scaling evidence — the
   * same end-to-end ingest at local[2]/local[8]/local[32] with per-pair
-  * scaling efficiency and the machine's own CPU envelope (this VM's
-  * hypervisor oversubscription caps even pure-CPU loops at ~0.78 for
-  * 8→32; see BASELINE.md). Tunables: SPARK_GRAFT_SCALE_EVENTS,
+  * scaling efficiency and the machine's own composite CPU+memory envelope
+  * (this VM's hypervisor oversubscription caps even pure-CPU loops at
+  * ~0.78 for 8→32; see BASELINE.md).
+  *
+  * BUDGETED: the round-4 driver capture timed out (rc=124 — no artifact
+  * at all), so the whole run now fits a wall-clock deadline
+  * (SPARK_GRAFT_BENCH_DEADLINE_S, default 1200 s in-JVM): pass 1 always
+  * runs every query; repeat passes run only while the remaining budget
+  * covers them (estimated from pass 1) while reserving time for the
+  * scaling series; the scaling series itself stops adding rounds at the
+  * deadline and reports what completed. Everything cut is DISCLOSED in
+  * the JSON (`cuts`, `deadline_hit` — the no-silent-caps rule): a partial
+  * artifact with disclosures beats a timed-out void. Other tunables:
+  * SPARK_GRAFT_BENCH_RUNS (passes, default 2), SPARK_GRAFT_BENCH_SINGLE_PASS
+  * (comma list of expensive fixture queries measured once, default the
+  * two streaming-replay builders), SPARK_GRAFT_SCALE_EVENTS,
   * SPARK_GRAFT_SCALE_CORES, SPARK_GRAFT_SCALE_REPEATS,
   * SPARK_GRAFT_SKIP_SCALING=1 to run queries only.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "1200").toDouble
+    val deadlineNanos = t0 + (deadlineS * 1e9).toLong
+    // floor of budget kept for the scaling series before repeat passes
+    // are allowed to spend (the series is the north-rule evidence)
+    val scalingReserveS =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) 0.0
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_RESERVE_S", "420").toDouble
+    var cuts: List[String] = Nil
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -33,20 +57,40 @@ object Bench {
     // full cost — the min is a clean steady-state sample, not a
     // cache read. Disclosed in the output as runs_per_query/agg.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
-    def onePass(): Map[String, Double] = {
+    // Fixture-heavy streaming builders run ONCE (their min-of-2 doubled
+    // the round-4 capture past the driver budget); list is disclosed.
+    val singlePass: Set[String] = sys.env.getOrElse("SPARK_GRAFT_BENCH_SINGLE_PASS",
+        "q73_scd2_streaming,q74_compaction_maintenance")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val all = SparkEntry.selectedQueries
+    def onePass(names: Set[String]): Map[String, Double] = {
       graft.analytics.Pipeline.reset()
       graft.analytics.DedupOps.clearCache()
       graft.analytics.CdcOps.reset()
       graft.analytics.SourceOps.reset()
-      SparkEntry.selectedQueries.toSeq.sortBy(_._1)
+      all.toSeq.filter(q => names.contains(q._1)).sortBy(_._1)
         .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+          val s0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - s0) / 1e9
+        }.toMap
     }
-    val results = (1 to passes).map(_ => onePass())
-      .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    var results = onePass(all.keySet)
+    val repeatSet = all.keySet -- singlePass
+    var passesRun = 1
+    for (p <- 2 to passes) {
+      // a repeat pass costs about what the same queries cost in pass 1;
+      // only spend if that still leaves the scaling reserve intact
+      val estimate = 1.15 * results.view.filterKeys(repeatSet).values.sum
+      if (elapsed + estimate > deadlineS - scalingReserveS) {
+        cuts ::= s"pass $p skipped (deadline: ${elapsed.round}s elapsed + ~${estimate.round}s " +
+          s"> ${deadlineS.round}s - ${scalingReserveS.round}s reserve)"
+      } else {
+        val r = onePass(repeatSet)
+        results = results.map { case (k, v) => k -> math.min(v, r.getOrElse(k, v)) }
+        passesRun += 1
+      }
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -58,7 +102,10 @@ object Bench {
     // JSON line always prints, carrying the error instead.
     val scaling =
       if (sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")) ""
-      else {
+      else if (deadlineS - elapsed < 150.0) {
+        cuts ::= s"scaling series skipped (deadline: only ${(deadlineS - elapsed).round}s left)"
+        ""
+      } else {
         val attempt = scala.util.Try {
           val events = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "8000000").toLong
           val cores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "2,8,32")
@@ -68,7 +115,8 @@ object Bench {
             .orElse(Some("/dev/shm/graft-bench"))
             .map(java.nio.file.Paths.get(_))
           graft.cdc.ScaleBench.runSeries(
-            events, numFiles = 16, perTrigger = 100, cores, repeats, workBase)
+            events, numFiles = 16, perTrigger = 100, cores, repeats, workBase,
+            deadlineNanos = Some(deadlineNanos))
         }
         attempt match {
           case scala.util.Success(s) => s""","scaling":${s.toJson}"""
@@ -78,8 +126,15 @@ object Bench {
         }
       }
 
+    val cutsJson =
+      if (cuts.isEmpty) ""
+      else cuts.reverse.map(c => "\"" + c.replaceAll("[\"\\\\]", " ") + "\"")
+        .mkString(",\"cuts\":[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$passes,"agg":"min","queries":$qs,"sf":"$sfDir"$scaling}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$passesRun,""" +
+        s""""agg":"min","single_pass":${singlePass.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""deadline_s":${deadlineS.round},"elapsed_s":${elapsed.round}$cutsJson,""" +
+        s""""queries":$qs,"sf":"$sfDir"$scaling}"""
     // The artifact must survive whole (round-3's BENCH json was captured
     // as a truncated stdout tail → "parsed": null): write the full JSON
     // to a file alongside printing the contract line.
