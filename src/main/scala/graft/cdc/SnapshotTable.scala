@@ -165,36 +165,42 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
         // Post-TTL reclaim is NOT exclusive by construction (two handles
         // can both observe the same expired claim and both pass the age
         // gate — the round-4 advisory's lost update), so arbitrate it with
-        // a second EEXIST-atomic lease before replacing anything:
+        // a second EEXIST-atomic lease before replacing anything. The
+        // lease is HELD across the pointer publish and released only after
+        // the post-publish verification below — releasing it at the move
+        // would let a contender slip between our publish and our verify
+        // and hand both racers a "success".
         reclaimOrphanClaim(m, mp, mtmp)
         reclaimed = true
     }
-    if (currentVersion.forall(_ < m.version)) {
-      val tmp = rootPath.resolve(s"_current.tmp.${m.version}")
-      Files.write(tmp, m.version.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      // Post-swap verification: the claim serializes writers per version
-      // and versions are linear, so the pointer we observe now must be at
-      // or beyond what we just published. Anything else is a protocol
-      // violation (e.g. an out-of-band rollback racing this commit) that
-      // must surface, not silently lose this commit.
-      val observed = currentVersion
-      require(observed.exists(_ >= m.version),
-        s"current pointer regressed at $root: observed $observed after publishing v${m.version}")
-    }
-    if (reclaimed) {
-      // Final arbiter on the (REPLACE_EXISTING) reclaim path: the manifest
-      // the world can now see must be OURS. If a concurrent reclaimer slid
-      // past every earlier gate and its move landed last, this handle must
-      // LOSE (rebase) rather than report a success whose files the
-      // surviving manifest does not reference.
-      val winner = scala.util.Try(Manifest.fromJson(
-        new String(Files.readAllBytes(mp), StandardCharsets.UTF_8)).writerId).getOrElse("")
-      if (winner != writerId)
-        throw new SnapshotTable.ConcurrentCommitException(root, m.version,
-          s" (post-publish verification: v${m.version} carries writer '$winner', " +
-            "not this handle — a concurrent orphan reclaim won; rebase)")
-    }
+    try {
+      if (currentVersion.forall(_ < m.version)) {
+        val tmp = rootPath.resolve(s"_current.tmp.${m.version}")
+        Files.write(tmp, m.version.toString.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        // Post-swap verification: the claim serializes writers per version
+        // and versions are linear, so the pointer we observe now must be at
+        // or beyond what we just published. Anything else is a protocol
+        // violation (e.g. an out-of-band rollback racing this commit) that
+        // must surface, not silently lose this commit.
+        val observed = currentVersion
+        require(observed.exists(_ >= m.version),
+          s"current pointer regressed at $root: observed $observed after publishing v${m.version}")
+      }
+      if (reclaimed) {
+        // Final arbiter on the (REPLACE_EXISTING) reclaim path: the manifest
+        // the world can now see must be OURS. If a concurrent reclaimer slid
+        // past every earlier gate and its move landed last, this handle must
+        // LOSE (rebase) rather than report a success whose files the
+        // surviving manifest does not reference.
+        val winner = scala.util.Try(Manifest.fromJson(
+          new String(Files.readAllBytes(mp), StandardCharsets.UTF_8)).writerId).getOrElse("")
+        if (winner != writerId)
+          throw new SnapshotTable.ConcurrentCommitException(root, m.version,
+            s" (post-publish verification: v${m.version} carries writer '$winner', " +
+              "not this handle — a concurrent orphan reclaim won; rebase)")
+      }
+    } finally if (reclaimed) releaseReclaimLease(m.version)
   }
 
   /** Arbitrated replacement of an expired (post-TTL) orphan claim. The
@@ -206,8 +212,9 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
     * re-read the lease and require our own writerId (a racer interleaving
     * delete-then-link can otherwise end with two "holders"); and re-check
     * the published pointer immediately before the move so a version
-    * published mid-race is never clobbered. [[commit]]'s post-publish
-    * writerId verification remains the final arbiter.
+    * published mid-race is never clobbered. On success the lease stays
+    * HELD — [[commit]] releases it via [[releaseReclaimLease]] only after
+    * its post-publish writerId verification, the final arbiter.
     */
   private def reclaimOrphanClaim(m: Manifest, mp: Path, mtmp: Path): Unit = {
     val lease = rootPath.resolve(s"_reclaim.v${m.version}")
@@ -237,17 +244,23 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
         new String(Files.readAllBytes(lease), StandardCharsets.UTF_8)).getOrElse("")
       if (holder != writerId)
         lose(s" (reclaim lease for v${m.version} held by '$holder'; rebase)")
-      if (currentVersion.exists(_ >= m.version))
+      if (currentVersion.exists(_ >= m.version)) {
+        releaseReclaimLease(m.version)
         lose("") // published while we arbitrated — never clobber it
+      }
       Files.move(mtmp, mp, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    } finally {
-      Files.deleteIfExists(ltmp)
-      // release only our own lease (a TTL-expired lease may have been
-      // taken over by a contender while we still think we hold it)
-      if (scala.util.Try(new String(Files.readAllBytes(lease), StandardCharsets.UTF_8))
-          .toOption.contains(writerId))
-        Files.deleteIfExists(lease)
-    }
+    } finally Files.deleteIfExists(ltmp)
+  }
+
+  /** Release our own `_reclaim.v{N}` lease (never a contender's: a
+    * TTL-expired lease may have been taken over while we still think we
+    * hold it, so the content is checked before the delete).
+    */
+  private def releaseReclaimLease(version: Long): Unit = {
+    val lease = rootPath.resolve(s"_reclaim.v$version")
+    if (scala.util.Try(new String(Files.readAllBytes(lease), StandardCharsets.UTF_8))
+        .toOption.contains(writerId))
+      Files.deleteIfExists(lease)
   }
 
   /** Cast/pad `df` to exactly `target` (case-insensitive name resolution,

@@ -112,6 +112,51 @@ class CommitRaceSpec extends SparkSpec {
     assert(t.manifest.get.fences == Map("mine" -> 2L))
   }
 
+  test("two DISTINCT handles racing one EXPIRED orphan claim: exactly one reclaims") {
+    // The round-4 advisory: both handles see the same >=TTL-old foreign
+    // claim, both pass the age gate, and without arbitration both
+    // REPLACE_EXISTING it and report success — the last mover silently
+    // wins and the other writer's commit is lost. The reclaim lease +
+    // post-publish writerId verification must leave exactly one winner on
+    // every schedule.
+    (1 to 20).foreach { trial =>
+      val root = tmpDir(s"reclaim-race-$trial").resolve("t").toString
+      val a = new SnapshotTable(root, 4)
+      a.init(Model.tokenDocSchema)
+      val b = new SnapshotTable(root, 4) // distinct handle = distinct writerId
+      val orphan = a.manifest.get.copy(version = 1L, parentVersion = 0L,
+        fences = Map("dead" -> 1L), writerId = "dead-writer")
+      val mp = Paths.get(root, "manifests", "v1.json")
+      Files.write(mp, Manifest.toJson(orphan).getBytes(StandardCharsets.UTF_8))
+      Files.setLastModifiedTime(mp, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 2 * a.orphanClaimTtlMs))
+
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val futs = Seq("A" -> a, "B" -> b).map { case (who, t) =>
+          pool.submit(new java.util.concurrent.Callable[Option[String]] {
+            def call(): Option[String] = {
+              gate.await()
+              try {
+                t.commit(t.manifest.get.copy(version = 1L, parentVersion = 0L,
+                  fences = Map(who -> 1L)))
+                Some(who)
+              }
+              catch { case _: SnapshotTable.ConcurrentCommitException => None }
+            }
+          })
+        }
+        gate.countDown()
+        val winners = futs.flatMap(_.get())
+        assert(winners.size == 1, s"trial $trial: winners = $winners")
+        assert(a.currentVersion.contains(1L))
+        assert(a.manifest.get.fences == Map(winners.head -> 1L),
+          s"trial $trial: published ${a.manifest.get.fences}, winner ${winners.head}")
+      } finally pool.shutdownNow()
+    }
+  }
+
   test("two threads on one SHARED handle cannot both win a version") {
     // Regression for the shared-handle lost update: both threads carry
     // the same writerId, so without per-handle serialization the second
