@@ -161,11 +161,41 @@ object CdcOps extends QueryPack {
       work
     }
 
+  private val purged = new Tables.FingerprintMemo[String](d =>
+    scala.util.Try(Tables.deleteRecursively(d)))
+
+  /** Right-to-be-forgotten fixture (q76): a fresh replay of the shared
+    * 5-epoch log into its OWN table (the memoized replay table is read by
+    * many queries and must never be mutated), then `MergeEngine.purgeKeys`
+    * of every doc_id with did % 997 == 0 — a bounded erasure request that
+    * leaves most buckets untouched — then snapshot expiry so the
+    * pre-purge files are physically gone, not just unreferenced. The
+    * replay's MOR deltas are left in place deliberately: the purge must
+    * fold a delta covering a touched bucket into the rewrite.
+    */
+  private def purgedTableFor(s: SparkSession, dir: String): String =
+    purged.getOrElseUpdate(dir,
+      s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
+      val logDir = s"${replayFor(s, dir).work}/log"
+      val work = Tables.newWorkDir("graft-purge").toString
+      val table = IngestJob.replay(s, IngestJob.Config(
+        logDir = logDir, tableDir = s"$work/table",
+        checkpointDir = s"$work/ckpt", maxFilesPerTrigger = Some(1),
+        numBuckets = 8, queryId = "purge-build"))
+      val keys = Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(97L)) === 0)
+        .select(col("doc_id").cast("string").as("doc_id"))
+      MergeEngine.purgeKeys(s, table, keys, "doc_id")
+      table.expireSnapshots(keepLast = 1, minAgeMs = 0L)
+      work
+    }
+
   /** Bench hook: drop the memoized replay so a fresh pass re-pays the
     * full streaming ingest instead of serving the cached table.
     */
   private[graft] def reset(): Unit = {
     replayed.clear(); sinkBuilt.clear(); scd2Built.clear(); compacted.clear()
+    purged.clear()
   }
 
   /** The 5-epoch chunking of the changelog, including the duplicate
@@ -214,6 +244,21 @@ object CdcOps extends QueryPack {
       } finally log.unpersist()
       work
     }
+
+  /** The type-2 temporal history of the validated changelog (shared by
+    * q64's full dump and q75's point-in-time read). Includes the d%13
+    * duplicate re-deliveries — collapsed by Scd2's same-ord dedup, proving
+    * the at-least-once transport contract on this path too.
+    */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val log = {
+      val full = changelog(s, dir)
+      full.filter(IngestJob.validExpr(full))
+    }
+    val withDups = log.unionByName(
+      log.filter(col("op") === "I" && pmod(col("lsn") / 3, lit(13L)) === 0))
+    Scd2.fromChangelog(withDups, Seq("doc_id"), "lsn")
+  }
 
   private[analytics] def replayFor(s: SparkSession, dir: String): Replay =
     replayed.getOrElseUpdate(dir,
@@ -409,17 +454,30 @@ object CdcOps extends QueryPack {
     // applies, so the temporal view provably agrees with the ingest path.
     "q64_scd2_history" -> { (s, dir) =>
       import s.implicits._
-      val log = {
-        val full = changelog(s, dir)
-        full.filter(IngestJob.validExpr(full))
-      }
-      val withDups = log.unionByName(
-        log.filter($"op" === "I" && pmod($"lsn" / 3, lit(13L)) === 0))
-      Scd2.fromChangelog(withDups, Seq("doc_id"), "lsn")
+      scd2History(s, dir)
         .select($"doc_id",
           md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
           $"valid_from_lsn", $"valid_to_lsn", $"is_current")
         .orderBy("doc_id", "valid_from_lsn")
+    },
+
+    // The POINT of a temporal table: answer "state AS OF time T" without
+    // replaying the log. One interval-containment filter over the q64
+    // history (valid_from <= L < valid_to) — no shuffle beyond the
+    // table's own build, and at rest the predicate prunes on the interval
+    // columns' file statistics. T = the same mid-log LSN q49's
+    // incremental read anchors on.
+    "q75_temporal_point_query" -> { (s, dir) =>
+      import s.implicits._
+      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val L = 3 * (maxDid / 2)
+      scd2History(s, dir)
+        .filter($"valid_from_lsn" <= L &&
+          ($"valid_to_lsn".isNull || $"valid_to_lsn" > L))
+        .select($"doc_id",
+          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
+          $"valid_from_lsn")
+        .orderBy("doc_id")
     },
 
     // The INCREMENTAL maintenance path to the same temporal table: fold
@@ -495,6 +553,24 @@ object CdcOps extends QueryPack {
         .groupBy($"tok").agg(sum($"d").as("n"))
         .filter($"n" =!= 0)
         .orderBy("tok")
+    },
+
+    // Right-to-be-forgotten through the engine (a training-data lake's
+    // GDPR path): purge a bounded key set by rewriting ONLY the buckets
+    // those keys hash to (MOR deltas covering a touched bucket fold in),
+    // carry every other file forward by identity, commit a new snapshot,
+    // then expire the old ones so the purged rows are physically gone.
+    // The driver gate checks the surviving state == survivor-state SQL
+    // minus the purged dids; the file-identity and physical-erasure laws
+    // are ScalaTest'd in PurgeSpec.
+    "q76_pii_purge" -> { (s, dir) =>
+      import s.implicits._
+      val work = purgedTableFor(s, dir)
+      new SnapshotTable(s"$work/table", 8).read(s)
+        .select($"doc_id",
+          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
+          $"n_tok", $"source")
+        .orderBy("doc_id")
     },
 
     // The SIZE-based compaction policy under the driver's external gate
@@ -684,6 +760,18 @@ object CdcOps extends QueryPack {
     "q68_scd2_incremental" -> scd2Sql,
     "q73_scd2_streaming" -> scd2Sql,
 
+    // AS OF point query: DuckDB filters its own interval rebuild at the
+    // same mid-log LSN — an independent interval computation, same answer.
+    "q75_temporal_point_query" -> temporalPointSql,
+
+    // The purge is data-visible (unlike compaction): surviving state must
+    // equal the survivor state minus the erased dids.
+    "q76_pii_purge" ->
+      s"""WITH $duckSurvivorState
+         |SELECT doc_id, tokens_fp, CAST(n_tok AS INT) AS n_tok, source FROM state
+         |WHERE did % 97 <> 0
+         |ORDER BY doc_id""".stripMargin,
+
     // Compaction changes file shape, never data: the survivor-state sums
     // must match the plain SQL recompute, and the file-count laws (engine
     // layout, not SQL-visible) ride as always-true booleans the engine
@@ -713,8 +801,11 @@ object CdcOps extends QueryPack {
          |GROUP BY tok ORDER BY tok""".stripMargin
   )
 
-  private lazy val scd2Sql: String =
-      s"""WITH toks AS (
+  /** The toks+vers CTE block shared by the SCD2 oracles (q64/q68/q73
+    * full history, q75 point-in-time).
+    */
+  private lazy val scd2VersCte: String =
+      s"""toks AS (
          |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
          |    list_transform(
          |      list_filter(string_split(text, ' '), w -> length(w) > 0),
@@ -733,8 +824,20 @@ object CdcOps extends QueryPack {
          |      list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT)), ',')),
          |    CAST(3 * did + 1 AS BIGINT),
          |    CAST(CASE WHEN did % 17 = 0 THEN 3 * did + 2 END AS BIGINT)
-         |  FROM toks WHERE did % 5 = 0)
-         |SELECT doc_id, tokens_fp, valid_from_lsn, valid_to_lsn,
-         |  (valid_to_lsn IS NULL) AS is_current
-         |FROM vers ORDER BY doc_id, valid_from_lsn""".stripMargin
+         |  FROM toks WHERE did % 5 = 0)""".stripMargin
+
+  private lazy val scd2Sql: String =
+    s"""WITH $scd2VersCte
+       |SELECT doc_id, tokens_fp, valid_from_lsn, valid_to_lsn,
+       |  (valid_to_lsn IS NULL) AS is_current
+       |FROM vers ORDER BY doc_id, valid_from_lsn""".stripMargin
+
+  private lazy val temporalPointSql: String =
+    s"""WITH $scd2VersCte,
+       |pt AS (SELECT 3 * ((SELECT max(doc_id) FROM documents) // 2) AS l)
+       |SELECT doc_id, tokens_fp, valid_from_lsn
+       |FROM vers, pt
+       |WHERE valid_from_lsn <= pt.l
+       |  AND (valid_to_lsn IS NULL OR valid_to_lsn > pt.l)
+       |ORDER BY doc_id""".stripMargin
 }

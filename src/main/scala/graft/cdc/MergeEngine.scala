@@ -427,4 +427,86 @@ object MergeEngine {
         None
     }
   }
+
+  /** Right-to-be-forgotten erasure (the GDPR path a training-data lake
+    * must have): physically rewrite ONLY the buckets the purged keys hash
+    * to, dropping every row of those keys; every other file is carried
+    * forward BY IDENTITY into the new snapshot. O(touched buckets), never
+    * O(table) — at thousands of buckets a bounded erasure request
+    * rewrites a sliver. Merge-on-read deltas covering a touched bucket
+    * are folded in (their whole covered range joins the rewrite, exactly
+    * like [[compact]], so no delta row is orphaned). The purge commits a
+    * NEW version: older snapshots still reference the pre-purge files, so
+    * a complete erasure follows with `expireSnapshots(keepLast = 1)` once
+    * the retention window allows — returned paths say which files held
+    * purged rows. `keys` is a one-column DataFrame of key values, bounded
+    * (an erasure request, not a corpus): it is collected once for bucket
+    * targeting and broadcast for the anti-join.
+    */
+  def purgeKeys(
+      spark: SparkSession,
+      table: SnapshotTable,
+      keys: DataFrame,
+      keyCol: String = "doc_id",
+      writeSplits: Int = 4): Option[PurgeResult] = {
+    val m = table.manifest.getOrElse(sys.error(s"table not initialized: ${table.root}"))
+    val targets: Set[Int] = keys
+      .select(SnapshotTable.bucketOf(col(keyCol), m.numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // fixpoint expansion: a delta file covering a target bucket brings its
+    // WHOLE bucket range into the rewrite (its other buckets' rows live in
+    // the same file and must be rewritten, not lost)
+    var dirty = targets
+    var affected = m.files.filter(f => dirty.exists(f.covers))
+    var grown = true
+    while (grown) {
+      val expanded = dirty ++ affected.filter(_.isDelta)
+        .flatMap(_.coveredBuckets(m.numBuckets))
+      grown = expanded.size > dirty.size
+      dirty = expanded
+      affected = m.files.filter(f => dirty.exists(f.covers))
+    }
+    if (affected.isEmpty) return None
+
+    val winners = Reconcile.winners(
+      spark, table.readEntries(spark, m, affected), m.numBuckets, writeSplits)
+    val kept = winners.join(broadcast(keys.select(col(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+    val payload = DataType.fromJson(m.currentSchemaJson).asInstanceOf[StructType]
+    val out = kept.select(
+      payload.fieldNames.toSeq.map(col) ++
+        Seq(col("lsn").as(Model.LsnCol), col("_bucket")): _*)
+
+    val newVersion = m.version + 1
+    val outDir = table.newDataDir(newVersion)
+    timed("purge-write")(out.write
+      .partitionBy("_bucket")
+      .mode("overwrite")
+      .parquet(outDir.toString))
+    val newEntries = FileStats.entries(
+      spark, table.listBucketFiles(outDir), m.schemas.size - 1)
+    val affectedSet = affected.map(_.path).toSet
+    val carried = m.files.filterNot(f => affectedSet.contains(f.path))
+    val purgedRows = affected.map(_.rows).sum - newEntries.map(_.rows).sum
+    val next = m.copy(
+      version = newVersion, parentVersion = m.version,
+      files = carried ++ newEntries)
+    try {
+      table.commit(next)
+      Some(PurgeResult(newVersion, dirty, purgedRows, affected.map(_.path)))
+    } catch {
+      case _: SnapshotTable.ConcurrentCommitException =>
+        scala.util.Try(graft.util.Tables.deleteRecursively(outDir.toString))
+        None
+    }
+  }
+
+  /** Outcome of [[purgeKeys]]: the committed version, the buckets
+    * rewritten, the net row delta (for MOR inputs this includes delta
+    * rows and tombstones folded away, not just purged keys), and the
+    * superseded files that may still hold purged rows in OLDER snapshots
+    * (physically reclaimed by `expireSnapshots` after retention).
+    */
+  final case class PurgeResult(version: Long, buckets: Set[Int],
+      rowDelta: Long, supersededFiles: Seq[String])
 }
