@@ -573,6 +573,43 @@ object CdcOps extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // Point lookup against the clustered table (the serving-layer read a
+    // CDC lake must answer: "current row of THESE keys", an
+    // erasure-audit / debugging / feature-store probe — bounded keys,
+    // never a scan). The engine's compact writes base files CLUSTERED
+    // (range exchange on (bucket, key)), records each file's footer key
+    // range in the manifest, and lookupKeys reads only files whose bucket
+    // AND key range can hold a sought key — O(keys) files at any table
+    // size. Booleans carry the pruning laws (file counts are engine-
+    // layout facts DuckDB cannot recompute); the payload columns tie the
+    // lookup to the same survivor-state SQL as the full replay: pruning
+    // must never change an answer. Range-split disjointness and
+    // MOR-overlay visibility are law-tested in PointLookupSpec.
+    "q77_point_lookup" -> { (s, dir) =>
+      import s.implicits._
+      val work = compactionFor(s, dir)
+      val table = new SnapshotTable(s"$work/table", 8)
+      val keys = table.read(s).select($"doc_id").orderBy("doc_id").limit(7)
+        .as[String].collect().toSeq
+      val m = table.manifest.get
+      val byBucket = keys.toDF("doc_id")
+        .select($"doc_id", SnapshotTable.bucketOf($"doc_id", m.numBuckets).as("b"))
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+        .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val selected = table.pruneForKeys(m, byBucket)
+      val statsPresent = m.files.filterNot(_.isDelta)
+        .forall(f => f.minKey != null && f.maxKey != null)
+      table.lookupKeys(s, keys)
+        .select($"doc_id",
+          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
+          $"n_tok", $"source")
+        .withColumn("key_stats_present", lit(statsPresent))
+        .withColumn("lookup_pruned", lit(selected.size < m.files.size))
+        .withColumn("lookup_files_bounded",
+          lit(selected.count(!_.isDelta) <= keys.size))
+        .orderBy("doc_id")
+    },
+
     // The SIZE-based compaction policy under the driver's external gate
     // (the CompactionPolicySpec law, hash-checked): a 10-tiny-epoch replay
     // with a per-bucket delta bound of 2 must (a) trip the policy
@@ -770,6 +807,20 @@ object CdcOps extends QueryPack {
       s"""WITH $duckSurvivorState
          |SELECT doc_id, tokens_fp, CAST(n_tok AS INT) AS n_tok, source FROM state
          |WHERE did % 97 <> 0
+         |ORDER BY doc_id""".stripMargin,
+
+    // Point lookup: same survivor-state rows (pruning must never change
+    // an answer), restricted to the 7 lexicographically-first surviving
+    // keys — DuckDB picks the keys from its own rebuild, independently of
+    // the engine's. The pruning laws ride as engine-derived booleans.
+    "q77_point_lookup" ->
+      s"""WITH $duckSurvivorState
+         |SELECT doc_id, tokens_fp, CAST(n_tok AS INT) AS n_tok, source,
+         |  true AS key_stats_present,
+         |  true AS lookup_pruned,
+         |  true AS lookup_files_bounded
+         |FROM state
+         |WHERE doc_id IN (SELECT doc_id FROM state ORDER BY doc_id LIMIT 7)
          |ORDER BY doc_id""".stripMargin,
 
     // Compaction changes file shape, never data: the survivor-state sums

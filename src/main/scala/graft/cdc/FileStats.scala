@@ -26,7 +26,7 @@ object FileStats {
   private def entry(conf: org.apache.hadoop.conf.Configuration, path: String,
       bucket: Int, schemaId: Int): FileEntry = {
     {
-      val (rows, minLsn, maxLsn, bLo, bHi, bytes) = Try {
+      val (rows, minLsn, maxLsn, bLo, bHi, bytes, kLo, kHi) = Try {
         val inputFile = HadoopInputFile.fromPath(new HPath(path), conf)
         val fileBytes = inputFile.getLength
         val reader = ParquetFileReader.open(inputFile)
@@ -48,19 +48,39 @@ object FileStats {
           val bStats = colStats(Model.BucketCol)
           val bLos = bStats.map(_.genericGetMin.asInstanceOf[java.lang.Integer].intValue)
           val bHis = bStats.map(_.genericGetMax.asInstanceOf[java.lang.Integer].intValue)
+          // key-column (doc_id) range, for point-lookup file skipping.
+          // Binary stats are UNSIGNED-byte ordered; min-of-mins /
+          // max-of-maxs across blocks must use the same order
+          // (FileEntry.utf8Leq), not String.compareTo. Parquet may
+          // truncate long binary stats, but truncation only WIDENS the
+          // bound (min rounds down, max rounds up) — still safe to prune
+          // on.
+          val kStats = colStats(Model.KeyCol)
+            .filter(_.isInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics])
+          val kLos = kStats.map(s => new String(
+            s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+            java.nio.charset.StandardCharsets.UTF_8))
+          val kHis = kStats.map(s => new String(
+            s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+            java.nio.charset.StandardCharsets.UTF_8))
           (rows,
             if (mins.nonEmpty) mins.min else Long.MinValue,
             if (maxs.nonEmpty) maxs.max else Long.MaxValue,
             if (bLos.nonEmpty) bLos.min else -1,
             if (bHis.nonEmpty) bHis.max else -1,
-            fileBytes)
+            fileBytes,
+            if (kLos.nonEmpty && kStats.size == blocks.size)
+              kLos.reduce((a, b) => if (FileEntry.utf8Leq(a, b)) a else b) else null,
+            if (kHis.nonEmpty && kStats.size == blocks.size)
+              kHis.reduce((a, b) => if (FileEntry.utf8Leq(a, b)) b else a) else null)
         } finally reader.close()
-      }.getOrElse((-1L, Long.MinValue, Long.MaxValue, -1, -1, 0L))
+      }.getOrElse((-1L, Long.MinValue, Long.MaxValue, -1, -1, 0L, null, null))
       val (lo, hi) =
         if (bLo >= 0) (bLo, bHi)
         else if (bucket >= 0) (bucket, bucket)
         else (0, Int.MaxValue)
-      FileEntry(path, bucket, schemaId, minLsn, maxLsn, rows, FileEntry.Base, lo, hi, bytes)
+      FileEntry(path, bucket, schemaId, minLsn, maxLsn, rows, FileEntry.Base, lo, hi, bytes,
+        minKey = kLo, maxKey = kHi)
     }
   }
 }

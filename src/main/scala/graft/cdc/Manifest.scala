@@ -27,8 +27,27 @@ case class FileEntry(
     // On-disk size; drives the size-based compaction trigger and the
     // target-file-size estimate on rewrite. 0 = unknown (pre-round-4
     // manifest) — consumers must fall back to count-based heuristics.
-    bytes: Long = 0L) {
+    bytes: Long = 0L,
+    // Key-column (doc_id) min/max from the parquet footer, in parquet's
+    // UNSIGNED UTF-8 byte order. Base files are written clustered
+    // (sorted by key within the bucket), so [minKey, maxKey] is a tight
+    // range and a point lookup skips every base file whose range excludes
+    // the sought keys — the manifest-level analog of Iceberg's
+    // lower_bounds/upper_bounds. null = unknown (pre-round-5 manifest or
+    // unreadable stats) → consumers must treat the file as may-contain.
+    minKey: String = null,
+    maxKey: String = null) {
   def isDelta: Boolean = kind == FileEntry.Delta
+
+  /** Conservative "may this file contain `key`?" from the footer key
+    * range: unknown stats always pass (pruning must never lose a row).
+    * Comparison is unsigned UTF-8 byte order — the order parquet used to
+    * compute the stats — NOT String.compareTo (UTF-16 code units), which
+    * diverges on supplementary characters.
+    */
+  def mayContainKey(key: String): Boolean =
+    minKey == null || maxKey == null ||
+      (FileEntry.utf8Leq(minKey, key) && FileEntry.utf8Leq(key, maxKey))
 
   /** Buckets this file may contain rows of (conservative for deltas). */
   def coveredBuckets(numBuckets: Int): Range =
@@ -46,6 +65,20 @@ object FileEntry {
     * delete tombstones + _bucket), reconciled at read/compaction.
     */
   val Delta = "delta"
+
+  /** a <= b in unsigned UTF-8 byte order (parquet's binary stats order). */
+  def utf8Leq(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
 }
 
 /** Per-epoch ingest metrics, committed atomically with the data they

@@ -42,6 +42,11 @@ object Model {
     StructField("source", StringType, nullable = true),
     StructField("ts", TimestampType, nullable = true)))
 
+  /** The table's key column — what events are keyed by, what buckets hash,
+    * and what per-file min/max stats cover for point-lookup skipping.
+    */
+  val KeyCol = "doc_id"
+
   /** Internal column carrying the last-applied LSN per row inside snapshot
     * data files — the reconcile key for idempotent re-application.
     */

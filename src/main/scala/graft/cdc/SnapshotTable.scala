@@ -427,6 +427,56 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
   private[cdc] def pruneEntries(m: Manifest, buckets: Set[Int], minLsn: Long): Seq[FileEntry] =
     m.files.filter(f => buckets.exists(f.covers) && f.maxLsn >= minLsn)
 
+  /** Point lookup: current rows of a BOUNDED key set (a serving-layer /
+    * debugging / erasure-audit read, not a corpus scan), touching the
+    * fewest files the manifest can prove sufficient:
+    *
+    *  1. bucket prune — only files covering some sought key's
+    *     hash bucket;
+    *  2. key-range prune — base files are written clustered (sorted by
+    *     key within the bucket), so a file whose footer-derived
+    *     [minKey, maxKey] excludes every sought key is skipped WITHOUT
+    *     opening it (manifest-level, cheaper than parquet's own
+    *     footer-stats skip; entries with unknown ranges are read
+    *     conservatively);
+    *  3. the `doc_id IN (...)` predicate is pushed into the parquet scan,
+    *     so row groups inside surviving files still skip on their own
+    *     stats.
+    *
+    * Merge-on-read deltas covering a sought bucket always participate
+    * (they may hold a newer version or a tombstone of the key); the usual
+    * last-LSN-wins reconcile runs over the (tiny) filtered row set. At
+    * thousands of buckets × several clustered files each, a lookup reads
+    * ~1 base file + the bucket's delta tail per key — O(keys), never
+    * O(table).
+    */
+  def lookupKeys(spark: SparkSession, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "lookupKeys: empty key set")
+    val m = manifest.getOrElse(sys.error(s"no such table: $root"))
+    // tiny local job: bucket assignment must be exactly the engine's
+    // (Spark's codegen'd xxhash64), not a JVM reimplementation
+    import spark.implicits._
+    val byBucket: Map[Int, Seq[String]] = keys.toDF(Model.KeyCol)
+      .select(col(Model.KeyCol),
+        SnapshotTable.bucketOf(col(Model.KeyCol), m.numBuckets).as("b"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val selected = pruneForKeys(m, byBucket)
+    readResolved(spark, m, selected)
+      .filter(col(Model.KeyCol).isin(keys: _*))
+      .drop(Model.LsnCol)
+  }
+
+  /** The file-skipping core of [[lookupKeys]], exposed for tests: a file
+    * is read only if, for some bucket it covers, a key OF THAT BUCKET
+    * falls inside the file's key range (checking a file against another
+    * bucket's keys would re-read files the hash already rules out).
+    */
+  private[graft] def pruneForKeys(m: Manifest, keysByBucket: Map[Int, Seq[String]]): Seq[FileEntry] =
+    m.files.filter(f => keysByBucket.exists {
+      case (b, ks) => f.covers(b) && ks.exists(f.mayContainKey)
+    })
+
   /** List part files of a flat (non-partitioned) output dir. */
   private[cdc] def listDataFiles(dir: Path): Seq[String] = {
     if (!Files.exists(dir)) return Seq.empty
