@@ -555,6 +555,33 @@ object CdcOps extends QueryPack {
         .orderBy("tok")
     },
 
+    // Token-distribution drift between two committed snapshots — the
+    // monitoring read a training-data lake runs before shipping a new
+    // corpus cut ("what did this week's ingest do to the token mix?").
+    // Composes TIME TRAVEL with Δ-aggregation: both versions are pure
+    // manifest resolutions (immutable files, no copy-on-read), the drift
+    // is one exploded ±1 union and ONE hash aggregation on token —
+    // O(changed tokens) output, never a state dump. The "before" version
+    // is found by its EPOCH FENCE (the lineage record), not version
+    // arithmetic, so interleaved compaction commits cannot shift the
+    // comparison point. Oracle recomputes the same drift from the
+    // changelog rules: between epoch 2 and the final state, exactly the
+    // chunk-3 survivors' tokens arrive (epochs 3-4 add chunk 3 plus
+    // below-watermark re-deliveries, which must leave no trace).
+    "q79_token_drift" -> { (s, dir) =>
+      import s.implicits._
+      val t = replayFor(s, dir).table
+      val cur = t.currentVersion.get
+      val afterEpoch2 = (0L to cur).map(t.manifestAt)
+        .filter(_.fences.get("cdc-ingest").contains(2L)).map(_.version).max
+      def hist(v: Long, sign: Long) = t.readVersion(s, v)
+        .select(explode($"tokens").as("tok"), lit(sign).as("d"))
+      hist(cur, 1L).unionByName(hist(afterEpoch2, -1L))
+        .groupBy($"tok").agg(sum($"d").as("drift"))
+        .filter($"drift" =!= 0)
+        .orderBy("tok")
+    },
+
     // Right-to-be-forgotten through the engine (a training-data lake's
     // GDPR path): purge a bounded key set by rewriting ONLY the buckets
     // those keys hash to (MOR deltas covering a touched bucket fold in),
@@ -837,6 +864,23 @@ object CdcOps extends QueryPack {
          |  true AS bases_per_bucket_ok,
          |  true AS rows_match_manifest
          |FROM state""".stripMargin,
+
+    // Drift between epoch 2 and the final state = the chunk-3 survivors'
+    // final tokens (their deletes net out inside epoch 3; the d%13
+    // re-deliveries are below-watermark no-ops) — recomputed here purely
+    // from the changelog rules, independent of the engine's versions.
+    "q79_token_drift" ->
+      s"""WITH $duckSurvivorState,
+         |tokarr AS (
+         |  SELECT CASE WHEN did % 5 = 0
+         |           THEN list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT))
+         |           ELSE base_toks END AS tokens
+         |  FROM toks
+         |  WHERE did % 17 <> 0
+         |    AND did // ((SELECT max(doc_id) FROM documents) // 4 + 1) = 3)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS drift
+         |FROM (SELECT unnest(tokens) AS tok FROM tokarr)
+         |GROUP BY tok ORDER BY tok""".stripMargin,
 
     // Full recompute from the survivor state — deliberately NOT the
     // delta path: hash-equality here is exactly the IVM invariant.

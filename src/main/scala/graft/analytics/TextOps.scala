@@ -139,6 +139,32 @@ object TextOps extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // Inverted index over the corpus vocabulary (the IR backbone a
+    // training-data lake needs for canary/contamination probes and
+    // targeted takedowns: "which docs contain THIS term" without a
+    // corpus scan). Build = explode (a flatMap, no shuffle) + ONE hash
+    // aggregation on term with map-side combine; doc_freq is exact
+    // count(distinct) inside the group. The query surfaces the RAREST
+    // 500 terms — the needle-lookup tail an index exists for — with
+    // min/max posting bounds; rarest-k is a TakeOrdered on (doc_freq,
+    // term), no global sort. At 100 TB the same plan IS the index build:
+    // posting lists partition by term, and a probe is an index equi-join
+    // instead of a scan (the shape q58's contamination join already
+    // uses).
+    "q78_inverted_index" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(wordsCol($"text")).as("term"))
+        .groupBy($"term")
+        .agg(
+          countDistinct($"doc_id").as("doc_freq"),
+          count(lit(1)).as("total_tf"),
+          min($"doc_id").as("min_did"),
+          max($"doc_id").as("max_did"))
+        .orderBy("doc_freq", "term")
+        .limit(500)
+    },
+
     // PII redaction — the scrub pass every training-data pipeline runs
     // before tokenization. The synthetic corpus carries no PII, so it is
     // planted deterministically from doc_id (doc_id%9 → an email,
@@ -264,6 +290,16 @@ object TextOps extends QueryPack {
          |  CAST(top_bigram_count AS DOUBLE) / n_bigrams AS top_bigram_frac
          |FROM wd JOIN agg ON wd.doc_id = agg.doc_id
          |ORDER BY wd.doc_id""".stripMargin,
+
+    // Same index from unnest — exact integer stats throughout.
+    "q78_inverted_index" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($duckWords) AS term FROM documents)
+         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+         |  CAST(count(*) AS BIGINT) AS total_tf,
+         |  min(doc_id) AS min_did, max(doc_id) AS max_did
+         |FROM w GROUP BY term
+         |ORDER BY doc_freq, term LIMIT 500""".stripMargin,
 
     // Identical planting and identical RE2-compatible regexes; DuckDB's
     // regexp_replace needs the explicit 'g' flag to match Spark's
