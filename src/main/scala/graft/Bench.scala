@@ -60,7 +60,7 @@ object Bench {
     // Fixture-heavy streaming builders run ONCE (their min-of-2 doubled
     // the round-4 capture past the driver budget); list is disclosed.
     val singlePass: Set[String] = sys.env.getOrElse("SPARK_GRAFT_BENCH_SINGLE_PASS",
-        "q73_scd2_streaming,q74_compaction_maintenance,q76_pii_purge")
+        "q73_scd2_streaming,q74_compaction_maintenance,q76_pii_purge,q80_wap_audit_gate")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val all = SparkEntry.selectedQueries
     def onePass(names: Set[String]): Map[String, Double] = {

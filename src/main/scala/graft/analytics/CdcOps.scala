@@ -161,6 +161,54 @@ object CdcOps extends QueryPack {
       work
     }
 
+  private val wapBuilt = new Tables.FingerprintMemo[String](d =>
+    scala.util.Try(Tables.deleteRecursively(d)))
+
+  /** Write-audit-publish build (q80): the same 5 epochs as the writer-API
+    * build, but every epoch goes stage → audit → publish, and after epoch
+    * 2 a POISONED epoch (every chunk-2 doc re-delivered at a higher LSN
+    * with a corrupted n_tok) is staged on its own fence lane — the audit
+    * must reject it and the abandon must leave no trace, or the final
+    * state diverges from the survivor oracle (the poison's higher LSN
+    * would win reconcile and flip every chunk-2 n_tok). Audit outcomes
+    * land in `audit.log` for the query's booleans.
+    */
+  private def wapTableFor(s: SparkSession, dir: String): String =
+    wapBuilt.getOrElseUpdate(dir,
+      s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
+      val work = Tables.newWorkDir("graft-wap").toString
+      val t = new graft.cdc.SnapshotTable(s"$work/table", 8)
+      val log = {
+        val full = changelog(s, dir)
+        full.filter(IngestJob.validExpr(full))
+      }.persist()
+      var cleanPassed = 0
+      var poisonRejected = false
+      try epochBatches(s, dir, log).foreach { case (k, batch) =>
+        t.ensureInitialized(batch.schema)
+        val staged = Wap.stage(s, t, batch, "wap", k)
+        val report = Wap.audit(s, t, staged)
+        require(report.passed, s"clean epoch $k failed audit: ${report.failures}")
+        cleanPassed += 1
+        Wap.publish(t, staged)
+        if (k == 2) {
+          val poison = batch
+            .withColumn("lsn", col("lsn") + 10000000L)
+            .withColumn("op", lit("U"))
+            .withColumn("n_tok", col("n_tok") + 1)
+          val badStage = Wap.stage(s, t, poison, "wap-poison", 0L)
+          val badReport = Wap.audit(s, t, badStage)
+          poisonRejected = !badReport.passed &&
+            badReport.failures.exists(_._1 == "n_tok_consistent")
+          Wap.abandon(badStage)
+        }
+      } finally log.unpersist()
+      Files.write(Paths.get(s"$work/audit.log"),
+        s"clean_passed=$cleanPassed\npoison_rejected=$poisonRejected\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      work
+    }
+
   private val purged = new Tables.FingerprintMemo[String](d =>
     scala.util.Try(Tables.deleteRecursively(d)))
 
@@ -195,7 +243,7 @@ object CdcOps extends QueryPack {
     */
   private[graft] def reset(): Unit = {
     replayed.clear(); sinkBuilt.clear(); scd2Built.clear(); compacted.clear()
-    purged.clear()
+    purged.clear(); wapBuilt.clear()
   }
 
   /** The 5-epoch chunking of the changelog, including the duplicate
@@ -582,6 +630,31 @@ object CdcOps extends QueryPack {
         .orderBy("tok")
     },
 
+    // Write-audit-publish under the external gate: a third build of the
+    // q50 survivor state, this time with the dbt-style quality gate
+    // INSIDE the commit path (stage → audit → publish per epoch; the
+    // reference's dbt tests run after materialization, so bad rows go
+    // live until the next run). A poisoned re-delivery of chunk 2 at
+    // higher LSNs — which would win reconcile and flip every chunk-2
+    // n_tok if it ever published — is staged mid-build, rejected by the
+    // audit, abandoned. Hash-equality with the same survivor-state SQL
+    // as q50/q61 is therefore the WAP law: gated ingest converges to the
+    // identical state, and the poison left no trace. Invisibility /
+    // equivalence / rebase laws are ScalaTest'd in WapSpec.
+    "q80_wap_audit_gate" -> { (s, dir) =>
+      import s.implicits._
+      val work = wapTableFor(s, dir)
+      val audit = new String(Files.readAllBytes(Paths.get(s"$work/audit.log")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      new SnapshotTable(s"$work/table", 8).read(s)
+        .select($"doc_id",
+          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
+          $"n_tok", $"source")
+        .withColumn("all_clean_epochs_published", lit(audit.contains("clean_passed=5")))
+        .withColumn("poison_rejected", lit(audit.contains("poison_rejected=true")))
+        .orderBy("doc_id")
+    },
+
     // Right-to-be-forgotten through the engine (a training-data lake's
     // GDPR path): purge a bounded key set by rewriting ONLY the buckets
     // those keys hash to (MOR deltas covering a touched bucket fold in),
@@ -716,6 +789,16 @@ object CdcOps extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q50_cdc_replay" -> replayStateSql,
     "q61_writer_api_state" -> replayStateSql,
+
+    // The WAP build must converge to the SAME survivor state: the audit
+    // gate changes what can commit, never what correct data means.
+    "q80_wap_audit_gate" ->
+      s"""WITH $duckSurvivorState
+         |SELECT doc_id, tokens_fp, CAST(n_tok AS INT) AS n_tok, source,
+         |  true AS all_clean_epochs_published,
+         |  true AS poison_rejected
+         |FROM state
+         |ORDER BY doc_id""".stripMargin,
 
     // Per-epoch metrics, re-derived from the changelog rules: epoch k
     // carries the fresh events of chunk k (insert per doc; update if

@@ -105,25 +105,40 @@ object MergeEngine {
     mergeImpl(spark, table, events, queryId, epochId, saltBuckets,
       saltedPreDedup, writeSplits, mode, sortDeltas, rebaseAttempt = 0)
 
-  private def mergeImpl(
-      spark: SparkSession,
+  /** Everything [[mergeImpl]] derives from (manifest, batch) before any
+    * write: fence check, schema evolution, the broadcast min-LSN filter's
+    * stats job, watermark advances, and the staged (optionally
+    * pre-combined) fresh rows. Shared by the MOR stage, the COW rewrite
+    * and [[Wap]]'s write-audit-publish staging so the three paths cannot
+    * drift semantically.
+    */
+  private final case class Prep(
+      m: Manifest,
+      mPrime: Manifest,
+      newSchema: StructType,
+      schemaId: Int,
+      eventsIn: Long,
+      belowWm: Long,
+      freshCount: Long,
+      freshDeletes: Long,
+      touched: Seq[Int],
+      wmAdvances: Map[String, Long],
+      newWatermarks: Map[String, Long],
+      staged: DataFrame)
+
+  /** None = the epoch is at or below the committed fence (replay no-op). */
+  private def prepare(
       table: SnapshotTable,
       events: DataFrame,
       queryId: String,
       epochId: Long,
       saltBuckets: Int,
-      saltedPreDedup: Boolean,
-      writeSplits: Int,
-      mode: String,
-      sortDeltas: Boolean,
-      rebaseAttempt: Int): MergeResult = {
+      saltedPreDedup: Boolean): Option[Prep] = {
 
     val m = table.manifest.getOrElse(sys.error(s"table not initialized: ${table.root}"))
 
     // ── 0. epoch fence: replayed epoch → no-op ─────────────────────────
-    if (m.fences.get(queryId).exists(_ >= epochId)) {
-      return MergeResult(applied = false, None, m.version)
-    }
+    if (m.fences.get(queryId).exists(_ >= epochId)) return None
 
     // ── schema evolution (additive / widening) ─────────────────────────
     val tableSchema = DataType.fromJson(m.currentSchemaJson).asInstanceOf[StructType]
@@ -168,15 +183,6 @@ object MergeEngine {
         k -> math.max(v, m.watermarks.getOrElse(k, Long.MinValue))
       }
 
-    if (touched.isEmpty) {
-      // Nothing fresh: metadata-only fence/watermark advance.
-      return commitRebasing(table, queryId, epochId,
-        entries = Seq.empty, physicalSchema = Some(newSchema),
-        wmAdvances = wmAdvances,
-        metric = EpochMetrics(queryId, epochId, eventsIn, belowWm, 0, 0, 0, 0, 0),
-        cleanup = () => ())
-    }
-
     val fresh = events.filter(col("lsn") > wmFloor)
     val payloadCols = SnapshotTable.conformColumns(events.schema, newSchema)
     val ev0 = fresh.select(payloadCols ++ Seq(col("lsn"), col("op")): _*)
@@ -195,50 +201,137 @@ object MergeEngine {
         .select(col("e.*"))
     } else ev0
 
+    Some(Prep(m, mPrime, newSchema, schemaId, eventsIn, belowWm, freshCount,
+      freshDeletes, touched, wmAdvances, newWatermarks, staged))
+  }
+
+  /** Outcome of [[stageMor]]: delta files written (or nothing to write),
+    * plus everything a later [[commitRebasing]] needs to publish them.
+    * Until published, the files are INVISIBLE to every reader (no
+    * manifest references them) — the write half of write-audit-publish.
+    */
+  private[cdc] sealed trait StageOutcome
+  private[cdc] case object FenceCovered extends StageOutcome
+  private[cdc] final case class StagedMor(
+      entries: Seq[FileEntry],
+      physicalSchema: StructType,
+      wmAdvances: Map[String, Long],
+      metric: EpochMetrics,
+      dataDir: Option[java.nio.file.Path]) extends StageOutcome {
+    def cleanup(): Unit = dataDir.foreach { d =>
+      val _ = scala.util.Try(graft.util.Tables.deleteRecursively(d.toString))
+    }
+  }
+
+  /** The MOR write WITHOUT the commit: stage the batch's delta files
+    * against the current manifest and return the entries + metadata a
+    * publish needs. [[merge]] publishes immediately; [[Wap]] audits the
+    * staged state first. Empty `entries` = nothing fresh (metadata-only
+    * fence/watermark advance on publish).
+    */
+  private[cdc] def stageMor(
+      spark: SparkSession,
+      table: SnapshotTable,
+      events: DataFrame,
+      queryId: String,
+      epochId: Long,
+      saltBuckets: Int = 64,
+      saltedPreDedup: Boolean = false,
+      sortDeltas: Boolean = false): StageOutcome =
+    prepare(table, events, queryId, epochId, saltBuckets, saltedPreDedup) match {
+      case None => FenceCovered
+      case Some(p) if p.touched.isEmpty =>
+        // Nothing fresh: metadata-only fence/watermark advance.
+        StagedMor(Seq.empty, p.newSchema, p.wmAdvances,
+          EpochMetrics(queryId, epochId, p.eventsIn, p.belowWm, 0, 0, 0, 0, 0), None)
+      case Some(p) =>
+        // ── MOR: append the batch as delta files — ZERO shuffle ─────────
+        // Rows gain a `_bucket` column so each written file's footer
+        // min/max bounds the bucket range it touches: a bucket-targeted
+        // epoch yields narrow-range delta files and compaction/read-time
+        // reconcile touch only those buckets (O(dirty buckets)); the
+        // salted hash(doc_id) shuffle still happens exactly once per row,
+        // at compaction/read-time reconcile. Ingest cost is a scan + a
+        // write. `sortDeltas` adds a LOCAL (per-task, still shuffle-free)
+        // sort on _bucket so maxRecordsPerFile splits of a broad batch also
+        // get tight ranges — worth its CPU only when epochs are large AND
+        // key-clustered; targeted batches are naturally narrow without it.
+        val outDir = table.newDataDir(p.m.version + 1)
+        val withBucket = p.staged
+          .withColumn(Model.BucketCol, SnapshotTable.bucketOf(col("doc_id"), p.m.numBuckets))
+          .select(
+            p.newSchema.fieldNames.toSeq.map(col) ++
+              Seq(col("lsn").as(Model.LsnCol), col("op").as(Model.OpCol),
+                col(Model.BucketCol)): _*)
+        val out = if (sortDeltas) withBucket.sortWithinPartitions(Model.BucketCol) else withBucket
+        timed("write-delta")(out.write
+          .option("maxRecordsPerFile", 4000000)
+          .mode("overwrite")
+          .parquet(outDir.toString))
+
+        // bucket = -1 = "range file"; the real coverage is [bucketLo,
+        // bucketHi] from the footer stats. MOR delta files depend only on
+        // the batch (not on table contents), so a lost commit race rebases
+        // by RE-POINTING these files at a higher version — no rewrite.
+        val written = table.listDataFiles(outDir)
+        val newEntries = FileStats.entries(spark, written.map(path => (path, -1)), p.schemaId)
+          .map(_.copy(kind = FileEntry.Delta))
+        StagedMor(newEntries, p.newSchema, p.wmAdvances,
+          EpochMetrics(queryId, epochId, p.eventsIn, p.belowWm,
+            collapsedInBatch = 0,
+            upserts = p.freshCount - p.freshDeletes, deletes = p.freshDeletes,
+            rowsWritten = newEntries.map(_.rows).sum, touchedBuckets = p.touched.size),
+          Some(outDir))
+    }
+
+  private def mergeImpl(
+      spark: SparkSession,
+      table: SnapshotTable,
+      events: DataFrame,
+      queryId: String,
+      epochId: Long,
+      saltBuckets: Int,
+      saltedPreDedup: Boolean,
+      writeSplits: Int,
+      mode: String,
+      sortDeltas: Boolean,
+      rebaseAttempt: Int): MergeResult = {
+
+    if (mode == ModeMor) {
+      return stageMor(spark, table, events, queryId, epochId, saltBuckets,
+        saltedPreDedup, sortDeltas) match {
+        case FenceCovered =>
+          MergeResult(applied = false, None,
+            table.manifest.map(_.version).getOrElse(-1L))
+        case st: StagedMor =>
+          commitRebasing(table, queryId, epochId,
+            entries = st.entries, physicalSchema = Some(st.physicalSchema),
+            wmAdvances = st.wmAdvances, metric = st.metric,
+            cleanup = () => st.cleanup())
+      }
+    }
+
+    val p = prepare(table, events, queryId, epochId, saltBuckets, saltedPreDedup) match {
+      case None =>
+        return MergeResult(applied = false, None,
+          table.manifest.map(_.version).getOrElse(-1L))
+      case Some(prep) => prep
+    }
+    if (p.touched.isEmpty) {
+      // Nothing fresh: metadata-only fence/watermark advance.
+      return commitRebasing(table, queryId, epochId,
+        entries = Seq.empty, physicalSchema = Some(p.newSchema),
+        wmAdvances = p.wmAdvances,
+        metric = EpochMetrics(queryId, epochId, p.eventsIn, p.belowWm, 0, 0, 0, 0, 0),
+        cleanup = () => ())
+    }
+    val Prep(m, mPrime, newSchema, schemaId, eventsIn, belowWm, freshCount,
+      _, touched, _, newWatermarks, staged) = p
+
     val newVersion = m.version + 1
     val outDir = table.newDataDir(newVersion)
 
-    if (mode == ModeMor) {
-      // ── MOR: append the batch as delta files — ZERO shuffle ─────────
-      // Rows gain a `_bucket` column so each written file's footer
-      // min/max bounds the bucket range it touches: a bucket-targeted
-      // epoch yields narrow-range delta files and compaction/read-time
-      // reconcile touch only those buckets (O(dirty buckets)); the
-      // salted hash(doc_id) shuffle still happens exactly once per row,
-      // at compaction/read-time reconcile. Ingest cost is a scan + a
-      // write. `sortDeltas` adds a LOCAL (per-task, still shuffle-free)
-      // sort on _bucket so maxRecordsPerFile splits of a broad batch also
-      // get tight ranges — worth its CPU only when epochs are large AND
-      // key-clustered; targeted batches are naturally narrow without it.
-      val withBucket = staged
-        .withColumn(Model.BucketCol, SnapshotTable.bucketOf(col("doc_id"), m.numBuckets))
-        .select(
-          newSchema.fieldNames.toSeq.map(col) ++
-            Seq(col("lsn").as(Model.LsnCol), col("op").as(Model.OpCol),
-              col(Model.BucketCol)): _*)
-      val out = if (sortDeltas) withBucket.sortWithinPartitions(Model.BucketCol) else withBucket
-      timed("write-delta")(out.write
-        .option("maxRecordsPerFile", 4000000)
-        .mode("overwrite")
-        .parquet(outDir.toString))
-
-      // bucket = -1 = "range file"; the real coverage is [bucketLo,
-      // bucketHi] from the footer stats. MOR delta files depend only on
-      // the batch (not on table contents), so a lost commit race rebases
-      // by RE-POINTING these files at a higher version — no rewrite.
-      val written = table.listDataFiles(outDir)
-      val newEntries = FileStats.entries(spark, written.map(p => (p, -1)), schemaId)
-        .map(_.copy(kind = FileEntry.Delta))
-      commitRebasing(table, queryId, epochId,
-        entries = newEntries, physicalSchema = Some(newSchema),
-        wmAdvances = wmAdvances,
-        metric = EpochMetrics(queryId, epochId, eventsIn, belowWm,
-          collapsedInBatch = 0,
-          upserts = freshCount - freshDeletes, deletes = freshDeletes,
-          rowsWritten = newEntries.map(_.rows).sum, touchedBuckets = touched.size),
-        cleanup = () => { val _ = scala.util.Try(
-          graft.util.Tables.deleteRecursively(outDir.toString)) })
-    } else {
+    {
       // ── COW: reconcile against live rows of touched buckets. Any MOR
       // delta files present (mode switch) are consumed whole — their
       // bucket ranges expand the rewrite set, and they are dropped from
@@ -315,7 +408,7 @@ object MergeEngine {
     * files are orphans: `cleanup` removes them and the merge reports
     * not-applied — exactly-once holds across writers, not just restarts.
     */
-  private def commitRebasing(
+  private[cdc] def commitRebasing(
       table: SnapshotTable,
       queryId: String,
       epochId: Long,

@@ -388,7 +388,7 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
     * some delta in the subset) go through [[Reconcile]]; the rest are
     * plain scans.
     */
-  private def readResolved(spark: SparkSession, m: Manifest, entries: Seq[FileEntry]): DataFrame = {
+  private[cdc] def readResolved(spark: SparkSession, m: Manifest, entries: Seq[FileEntry]): DataFrame = {
     val payloadNames = DataType.fromJson(m.currentSchemaJson).asInstanceOf[StructType].fieldNames.toSeq
     val outCols = payloadNames.map(col) ++ Seq(col("lsn").as(Model.LsnCol))
     val deltas = entries.filter(_.isDelta)
