@@ -209,6 +209,40 @@ object CdcOps extends QueryPack {
       work
     }
 
+  private val saltedBuilt = new Tables.FingerprintMemo[String](d =>
+    scala.util.Try(Tables.deleteRecursively(d)))
+
+  /** Hot-key update-storm fixture (q81): every doc's insert plus, for
+    * each did % 50 == 0 key, 24 higher-LSN updates in the SAME batch — a
+    * zipf-hot key's write amplification in miniature. Merged with the
+    * salted two-phase pre-combine ON (dedup layer 2), which must collapse
+    * each key map-side to its max-LSN event BEFORE the delta write: the
+    * epoch metric's rowsWritten therefore equals the doc count, proving
+    * the storm never reached disk.
+    */
+  private val q81StormR = 24
+  private def saltedFor(s: SparkSession, dir: String): String =
+    saltedBuilt.getOrElseUpdate(dir,
+      s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
+      val work = Tables.newWorkDir("graft-salted").toString
+      val t = new SnapshotTable(s"$work/table", 8)
+      val inserts = changelog(s, dir).filter(col("op") === "I")
+      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val base = 3L * maxDid + 3L
+      val storm = inserts
+        .filter(pmod(col("doc_id").cast("long"), lit(50L)) === 0)
+        .withColumn("r", explode(sequence(lit(0), lit(q81StormR - 1))))
+        .withColumn("lsn",
+          lit(base) + col("doc_id").cast("long") * q81StormR + col("r"))
+        .withColumn("op", lit("U"))
+        .select(inserts.columns.map(col): _*)
+      val events = inserts.unionByName(storm)
+      t.ensureInitialized(events.schema)
+      MergeEngine.merge(s, t, events, "salted", 0L,
+        saltBuckets = 16, saltedPreDedup = true)
+      work
+    }
+
   private val purged = new Tables.FingerprintMemo[String](d =>
     scala.util.Try(Tables.deleteRecursively(d)))
 
@@ -243,7 +277,7 @@ object CdcOps extends QueryPack {
     */
   private[graft] def reset(): Unit = {
     replayed.clear(); sinkBuilt.clear(); scd2Built.clear(); compacted.clear()
-    purged.clear(); wapBuilt.clear()
+    purged.clear(); wapBuilt.clear(); saltedBuilt.clear()
   }
 
   /** The 5-epoch chunking of the changelog, including the duplicate
@@ -630,6 +664,30 @@ object CdcOps extends QueryPack {
         .orderBy("tok")
     },
 
+    // Hot-key skew under the external gate (SURVEY J7's storm side): the
+    // salted two-phase pre-combine — dedup layer 2, the lever for zipf-
+    // hot keys whose update storms would otherwise all travel the
+    // shuffle — merged with a 24× per-hot-key storm in one batch. The
+    // state must equal last-LSN-wins (storm winners carry the computed
+    // max LSN, untouched docs their insert LSN), and the epoch metric
+    // must show rowsWritten == doc count: every storm collapsed map-side
+    // BEFORE the delta write. Plain-vs-salted equivalence is also
+    // property-tested (MergePropertySpec); this row makes the hot-key
+    // path externally hash-checked.
+    "q81_hotkey_salted_merge" -> { (s, dir) =>
+      import s.implicits._
+      val work = saltedFor(s, dir)
+      val t = new SnapshotTable(s"$work/table", 8)
+      val rowsWritten = t.manifest.get.metrics.map(_.rowsWritten).sum
+      val nDocs = Tables.load(s, dir, "documents").count()
+      t.readWithLsn(s)
+        .select($"doc_id",
+          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
+          $"n_tok", col(Model.LsnCol).as("lsn"))
+        .withColumn("storm_collapsed_before_write", lit(rowsWritten == nDocs))
+        .orderBy("doc_id")
+    },
+
     // Write-audit-publish under the external gate: a third build of the
     // q50 survivor state, this time with the dbt-style quality gate
     // INSIDE the commit path (stage → audit → publish per epoch; the
@@ -789,6 +847,27 @@ object CdcOps extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q50_cdc_replay" -> replayStateSql,
     "q61_writer_api_state" -> replayStateSql,
+
+    // Insert-only state (no deletes in this fixture) with storm winners
+    // at the computed max storm LSN — last-LSN-wins through the salted
+    // path, recomputed from the rules alone.
+    "q81_hotkey_salted_merge" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
+         |    list_transform(
+         |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+         |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
+         |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks
+         |  FROM documents)
+         |SELECT doc_id,
+         |  md5(array_to_string(base_toks, ',')) AS tokens_fp,
+         |  CAST(len(base_toks) AS INT) AS n_tok,
+         |  CAST(CASE WHEN did % 50 = 0
+         |       THEN (SELECT 3 * max(doc_id) + 3 FROM documents)
+         |            + did * $q81StormR + ${q81StormR - 1}
+         |       ELSE 3 * did END AS BIGINT) AS lsn,
+         |  true AS storm_collapsed_before_write
+         |FROM toks ORDER BY doc_id""".stripMargin,
 
     // The WAP build must converge to the SAME survivor state: the audit
     // gate changes what can commit, never what correct data means.
