@@ -450,7 +450,13 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
     * ~1 base file + the bucket's delta tail per key — O(keys), never
     * O(table).
     */
-  def lookupKeys(spark: SparkSession, keys: Seq[String]): DataFrame = {
+  def lookupKeys(spark: SparkSession, keys: Seq[String]): DataFrame =
+    lookupKeysWithLsn(spark, keys).drop(Model.LsnCol)
+
+  /** [[lookupKeys]] keeping the `_lsn` column — the shape the data-source
+    * read paths substitute when a `doc_id =`/`IN` predicate is pushed.
+    */
+  private[graft] def lookupKeysWithLsn(spark: SparkSession, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "lookupKeys: empty key set")
     val m = manifest.getOrElse(sys.error(s"no such table: $root"))
     // tiny local job: bucket assignment must be exactly the engine's
@@ -464,7 +470,6 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
     val selected = pruneForKeys(m, byBucket)
     readResolved(spark, m, selected)
       .filter(col(Model.KeyCol).isin(keys: _*))
-      .drop(Model.LsnCol)
   }
 
   /** The file-skipping core of [[lookupKeys]], exposed for tests: a file

@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.cdc.Model
 import graft.sources.GraftRelation
@@ -44,9 +45,9 @@ case class GraftRelationSubstitution(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case Filter(cond, l: LogicalRelation) if isGraft(l) =>
-      Filter(cond, substitute(l, lsnFloor(cond)))
+      Filter(cond, substitute(l, lsnFloor(cond), keyLookup(cond)))
     case l: LogicalRelation if isGraft(l) =>
-      substitute(l, None)
+      substitute(l, None, None)
   }
 
   private def isGraft(l: LogicalRelation): Boolean =
@@ -72,16 +73,46 @@ case class GraftRelationSubstitution(spark: SparkSession)
     floors.reduceOption(_ max _)
   }
 
-  private def substitute(l: LogicalRelation, floor: Option[Long]): LogicalPlan = {
+  /** Bounded key set implied by a `doc_id = 'x'` or `doc_id IN (...)`
+    * conjunct — the point-lookup pushdown. Intersected across conjuncts
+    * (all must hold); any null in an IN-list disables the rewrite for
+    * that conjunct (`x IN (null, ...)` is never-true-or-null — let Spark
+    * evaluate it).
+    */
+  private def keyLookup(cond: Expression): Option[Seq[String]] = {
+    def isKey(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name.equalsIgnoreCase(Model.KeyCol)
+      case _ => false
+    }
+    val keySets = splitConjunctivePredicates(cond).flatMap {
+      case EqualTo(a, Literal(v: UTF8String, StringType)) if isKey(a) =>
+        Some(Seq(v.toString))
+      case EqualTo(Literal(v: UTF8String, StringType), a) if isKey(a) =>
+        Some(Seq(v.toString))
+      case In(a, vs) if isKey(a) && vs.nonEmpty && vs.forall {
+            case Literal(u: UTF8String, StringType) => u != null
+            case _ => false
+          } =>
+        Some(vs.map(_.asInstanceOf[Literal].value.asInstanceOf[UTF8String].toString))
+      case _ => None
+    }
+    keySets.reduceOption((a, b) => a.intersect(b)).filter(_.nonEmpty)
+  }
+
+  private def substitute(
+      l: LogicalRelation, floor: Option[Long], keys: Option[Seq[String]]): LogicalPlan = {
     val r = l.relation.asInstanceOf[GraftRelation]
-    val df = (r.version, floor) match {
+    val df = (r.version, keys, floor) match {
       // time travel reads THAT version's manifest; no manifest-level
       // file skip for historic reads (the kept Filter applies any floor)
-      case (Some(v), _) => r.table.readVersionWithLsn(spark, v)
-      case (None, Some(f)) =>
+      case (Some(v), _, _) => r.table.readVersionWithLsn(spark, v)
+      // point lookup: manifest key-range prune (clustered base files) —
+      // the tightest file set; the kept Filter re-applies everything
+      case (None, Some(ks), _) => r.table.lookupKeysWithLsn(spark, ks)
+      case (None, None, Some(f)) =>
         r.table.readBuckets(spark,
           (0 until r.table.manifest.map(_.numBuckets).getOrElse(r.table.defaultNumBuckets)).toSet, f)
-      case (None, None) => r.table.readWithLsn(spark)
+      case (None, None, None) => r.table.readWithLsn(spark)
     }
     val sub = df.queryExecution.optimizedPlan
     val byName = sub.output.map(a => a.name.toLowerCase -> a).toMap

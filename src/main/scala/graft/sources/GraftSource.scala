@@ -187,30 +187,65 @@ case class GraftRelation(
     if (floors.isEmpty) None else Some(floors.max)
   }
 
-  /** The floor filters are applied EXACTLY by the pruned read (manifest
-    * file skip + row predicate), so Spark need not re-evaluate them;
-    * everything else stays Spark's job.
+  /** Bounded key set implied by a pushed `doc_id = x` / `doc_id IN (...)`
+    * — the point-lookup path (manifest key-range prune over the clustered
+    * base files). Intersected across conjuncts; an IN-list containing
+    * null stays Spark's job (never-true-or-null semantics).
+    */
+  private def keyLookup(filters: Array[Filter]): Option[Seq[String]] = {
+    val keySets: Array[Seq[String]] = filters.flatMap {
+      case EqualTo(c, v: String) if c.equalsIgnoreCase(Model.KeyCol) => Some(Seq(v))
+      case In(c, vs) if c.equalsIgnoreCase(Model.KeyCol) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[String]) =>
+        Some(vs.toSeq.map(_.asInstanceOf[String]))
+      case _ => None
+    }
+    // an EMPTY intersection (contradictory conjuncts, doc_id='a' AND
+    // doc_id='b') must surface as Some(empty): these filters are declared
+    // handled, so the scan must return no rows — not fall back to a full
+    // read with the predicates dropped
+    keySets.reduceOption((a, b) => a.intersect(b))
+  }
+
+  /** The floor and key filters are applied EXACTLY by the pruned reads
+    * (manifest file skip + row predicate), so Spark need not re-evaluate
+    * them; everything else stays Spark's job.
     */
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters.filterNot {
       case GreaterThanOrEqual(Model.LsnCol, _: Long) => true
       case GreaterThan(Model.LsnCol, _: Long) => true
+      case EqualTo(c, _: String) if c.equalsIgnoreCase(Model.KeyCol) => true
+      case In(c, vs) if c.equalsIgnoreCase(Model.KeyCol) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[String]) => true
       case _ => false
     }
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val keys = keyLookup(filters)
     val df = version match {
       case Some(v) =>
         // time travel reads THAT version's manifest (no manifest-level
-        // file skip for historic reads), but a pushed floor is declared
-        // handled, so it MUST still be applied here as a row predicate
+        // file skip for historic reads), but pushed floor/key filters are
+        // declared handled, so they MUST still apply as row predicates
         val base = table.readVersionWithLsn(spark, v)
-        lsnFloor(filters).map(f => base.filter(col(Model.LsnCol) >= f)).getOrElse(base)
+        val floored = lsnFloor(filters)
+          .map(f => base.filter(col(Model.LsnCol) >= f)).getOrElse(base)
+        keys.map {
+          case Nil => floored.filter(lit(false))
+          case ks => floored.filter(col(Model.KeyCol).isin(ks: _*))
+        }.getOrElse(floored)
       case None =>
-        lsnFloor(filters) match {
-          case Some(floor) =>
+        (keys, lsnFloor(filters)) match {
+          case (Some(Nil), _) =>
+            table.readWithLsn(spark).filter(lit(false)) // contradictory conjuncts
+          case (Some(ks), floor) =>
+            // point lookup; any floor re-applies as a row predicate
+            val looked = table.lookupKeysWithLsn(spark, ks)
+            floor.map(f => looked.filter(col(Model.LsnCol) >= f)).getOrElse(looked)
+          case (None, Some(floor)) =>
             table.readBuckets(spark, (0 until manifest.numBuckets).toSet, floor)
-          case None => table.readWithLsn(spark)
+          case (None, None) => table.readWithLsn(spark)
         }
     }
     df.select(requiredColumns.map(col).toSeq: _*).rdd

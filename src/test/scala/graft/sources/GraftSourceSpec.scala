@@ -74,6 +74,41 @@ class GraftSourceSpec extends SparkSpec {
     assert(!reads.contains("tokens"), s"unpruned scan through the source:\n$reads")
   }
 
+  test("doc_id point lookup is pushed to the manifest: fewer files, same rows") {
+    import spark.implicits._
+    val keys = table.read(spark).select("doc_id").orderBy("doc_id")
+      .limit(3).as[String].collect().toSeq
+    // equality pushdown
+    val one = viaSource.filter($"doc_id" === keys.head)
+    val expectOne = table.read(spark).filter($"doc_id" === keys.head)
+      .select("doc_id", "n_tok").collect().toSeq
+    assert(one.select("doc_id", "n_tok").collect().toSeq === expectOne)
+    assert(one.inputFiles.length < viaSource.inputFiles.length,
+      s"lookup read ${one.inputFiles.length} files, full read ${viaSource.inputFiles.length} — nothing pruned")
+    // IN-list pushdown
+    val many = viaSource.filter($"doc_id".isin(keys: _*))
+      .select("doc_id").as[String].collect().toSet
+    assert(many === keys.toSet)
+    // contradictory conjuncts must yield zero rows, not a dropped filter
+    assert(viaSource.filter($"doc_id" === keys.head && $"doc_id" === keys(1)).count() === 0L)
+  }
+
+  test("V1 fallback scan handles doc_id filters it declares handled") {
+    import org.apache.spark.sql.sources
+    val rel = GraftRelation(spark.sqlContext, table, None)
+    val k = table.read(spark).select("doc_id").orderBy("doc_id").head().getString(0)
+    val got = rel.buildScan(Array("doc_id", "n_tok"), Array(sources.EqualTo("doc_id", k)))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val want = table.read(spark).filter(col("doc_id") === k)
+      .select("doc_id", "n_tok").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got === want)
+    // contradictory handled conjuncts → empty scan, never a full read
+    val none = rel.buildScan(Array("doc_id"),
+      Array(sources.EqualTo("doc_id", k), sources.EqualTo("doc_id", k + "-other")))
+      .collect()
+    assert(none.isEmpty)
+  }
+
   test("option(\"version\") time travel equals readVersion") {
     val v = table.currentVersion.get - 1
     val a = spark.read.format("graft").option("version", v).load(table.root)
