@@ -132,8 +132,90 @@ object Manifest {
     m
   }
 
+  /** On-disk DELTA form of a manifest: everything but `files`, which is
+    * encoded as (added entries, removed paths) against the parent
+    * version's resolved state. This is what makes per-epoch metadata
+    * O(epoch) instead of O(table): a 10^10-row table holds ~10^5..10^6
+    * live file entries, and serializing them ALL on every 5-second commit
+    * is the classic metadata bottleneck both Delta (JSON log +
+    * checkpoints) and Iceberg (manifest lists) exist to avoid. Small
+    * fields (fences, watermarks, schemas, bounded metrics window) stay
+    * fully materialized in every form — only the file list is chained.
+    */
+  private case class DeltaManifest(
+      version: Long,
+      parentVersion: Long,
+      numBuckets: Int,
+      schemas: Seq[String],
+      filesAdded: Seq[FileEntry],
+      filesRemoved: Seq[String],
+      fences: Map[String, Long],
+      watermarks: Map[String, Long],
+      metrics: Seq[EpochMetrics],
+      writerId: String = "")
+
   def toJson(m: Manifest): String =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)
+
+  /** Delta-encode `m` against its parent's resolved state. Returns None
+    * (→ caller writes a full checkpoint) if any carried path's entry
+    * differs from the parent's — entries are immutable once committed,
+    * so this is a defensive invariant check, not an expected path.
+    */
+  def toJsonDelta(m: Manifest, parent: Manifest): Option[String] = {
+    if (m.parentVersion != parent.version) return None
+    val parentByPath = parent.files.map(f => f.path -> f).toMap
+    val added = m.files.filterNot(f => parentByPath.contains(f.path))
+    val mPaths = m.files.map(_.path).toSet
+    val removed = parent.files.map(_.path).filterNot(mPaths.contains)
+    val carriedIntact = m.files.forall(f =>
+      parentByPath.get(f.path).forall(_ == f))
+    if (!carriedIntact) None
+    else Some(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
+      DeltaManifest(m.version, m.parentVersion, m.numBuckets, m.schemas,
+        added, removed, m.fences, m.watermarks, m.metrics, m.writerId)))
+  }
+
+  /** Cheap raw-field reads that must not require chain resolution (the
+    * commit protocol's claimant/winner checks read manifests that may be
+    * delta-encoded).
+    */
+  def writerIdOf(s: String): String =
+    scala.util.Try(Option(mapper.readTree(s).get("writerId")).map(_.asText).getOrElse(""))
+      .getOrElse("")
+
+  /** Some(parentVersion) when `s` is a delta manifest needing its parent
+    * to resolve; None for a full checkpoint.
+    */
+  def parentRefOf(s: String): Option[Long] = {
+    val node = mapper.readTree(s)
+    if (node.has("filesAdded")) Some(node.get("parentVersion").asLong) else None
+  }
+
+  /** Parse either form; delta manifests resolve their file list through
+    * `loadParent` (which the caller memoizes — chains are bounded by the
+    * checkpoint cadence).
+    */
+  def resolve(s: String, loadParent: Long => Manifest): Manifest = {
+    val node = mapper.readTree(s)
+    if (!node.has("filesAdded")) return fromJson(s)
+    val d = mapper.readValue(s, classOf[DeltaManifest])
+    def longMap(field: String): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val n = node.get(field)
+      if (n == null) Map.empty
+      else n.fieldNames().asScala.map(k => k -> n.get(k).asLong()).toMap
+    }
+    val parent = loadParent(d.parentVersion)
+    val removed = d.filesRemoved.toSet
+    Manifest(
+      version = d.version, parentVersion = d.parentVersion,
+      numBuckets = d.numBuckets, schemas = d.schemas,
+      files = parent.files.filterNot(f => removed.contains(f.path)) ++ d.filesAdded,
+      fences = longMap("fences"), watermarks = longMap("watermarks"),
+      metrics = d.metrics,
+      writerId = Option(d.writerId).getOrElse(""))
+  }
 
   def fromJson(s: String): Manifest = {
     import scala.jdk.CollectionConverters._

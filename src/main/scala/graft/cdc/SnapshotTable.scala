@@ -35,8 +35,16 @@ import org.apache.spark.sql.types._
   * hash to; locally we default to 16.
   */
 class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
-    val orphanClaimTtlMs: Long = SnapshotTable.DefaultOrphanClaimTtlMs) {
+    val orphanClaimTtlMs: Long = SnapshotTable.DefaultOrphanClaimTtlMs,
+    val manifestCheckpointEvery: Int = SnapshotTable.DefaultCheckpointEvery) {
   private val rootPath: Path = Paths.get(root)
+
+  /** Published versions are immutable — resolved manifests memoize here
+    * (bounded: entries are dropped once far behind the current version by
+    * [[expireSnapshots]]' natural file deletion; a handle is also
+    * short-lived relative to a table).
+    */
+  private val resolvedCache = new java.util.concurrent.ConcurrentHashMap[Long, Manifest]()
 
   /** Lease identity of this table handle as a writer: stamped into every
     * manifest this handle commits, so a claim conflict can tell "my own
@@ -65,10 +73,37 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
 
   def manifest: Option[Manifest] = currentVersion.map(manifestAt)
 
-  /** Load a specific historical manifest version (time travel). */
+  /** Load a specific historical manifest version (time travel). Delta
+    * manifests (the O(epoch) commit form) resolve their file lists
+    * through the parent chain, bounded by the checkpoint cadence and
+    * memoized per published version.
+    */
   def manifestAt(v: Long): Manifest = {
     require(Files.exists(manifestPath(v)), s"no snapshot v$v at $root (expired or never committed)")
-    Manifest.fromJson(new String(Files.readAllBytes(manifestPath(v)), StandardCharsets.UTF_8))
+    resolveVersion(v, manifestPath(v))
+  }
+
+  /** Chain-kept manifest location for versions whose snapshot expired but
+    * whose delta chain is still needed to resolve a retained child.
+    */
+  private def chainPath(v: Long): Path = rootPath.resolve(s"manifests/chain/v$v.json")
+
+  private def resolveVersion(v: Long, at: Path): Manifest = {
+    val cached = resolvedCache.get(v)
+    if (cached != null) return cached
+    val m = Manifest.resolve(
+      new String(Files.readAllBytes(at), StandardCharsets.UTF_8),
+      parent => resolveVersion(parent,
+        if (Files.exists(manifestPath(parent))) manifestPath(parent)
+        else {
+          require(Files.exists(chainPath(parent)),
+            s"broken manifest chain at $root: v$v needs v$parent, which is gone")
+          chainPath(parent)
+        }))
+    // only PUBLISHED versions are immutable (an unpublished claim at
+    // v > current can be replaced by an orphan reclaim)
+    if (currentVersion.exists(_ >= v)) resolvedCache.put(v, m)
+    m
   }
 
   def schema: Option[StructType] =
@@ -137,7 +172,19 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
     if (currentVersion.exists(_ >= m.version))
       throw new SnapshotTable.ConcurrentCommitException(root, m.version)
     val mtmp = rootPath.resolve(s"_manifest.tmp.${m.version}.${java.util.UUID.randomUUID}")
-    Files.write(mtmp, Manifest.toJson(m).getBytes(StandardCharsets.UTF_8))
+    // Delta-encode the file list against the parent except at checkpoint
+    // versions (every `manifestCheckpointEvery`th) — per-epoch metadata
+    // is O(epoch files), not O(table files); readers resolve through the
+    // memoized chain, bounded by the cadence. Any doubt (initial commit,
+    // unloadable parent, carried-entry mismatch) falls back to a full
+    // checkpoint: the delta form is an optimization, never a correctness
+    // dependency.
+    val json =
+      if (m.parentVersion < 0 || m.version % manifestCheckpointEvery == 0) Manifest.toJson(m)
+      else scala.util.Try(manifestAt(m.parentVersion)).toOption
+        .flatMap(p => Manifest.toJsonDelta(m, p))
+        .getOrElse(Manifest.toJson(m))
+    Files.write(mtmp, json.getBytes(StandardCharsets.UTF_8))
     // The CLAIM must be atomic-no-replace WITH full content: POSIX
     // rename(2) silently replaces an existing target (so ATOMIC_MOVE
     // cannot arbitrate), and CREATE_NEW writes content non-atomically. A
@@ -151,8 +198,8 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
           Files.deleteIfExists(mtmp)
           throw new SnapshotTable.ConcurrentCommitException(root, m.version)
         }
-        val claimant = scala.util.Try(Manifest.fromJson(
-          new String(Files.readAllBytes(mp), StandardCharsets.UTF_8)).writerId).getOrElse("")
+        val claimant = scala.util.Try(Manifest.writerIdOf(
+          new String(Files.readAllBytes(mp), StandardCharsets.UTF_8))).getOrElse("")
         val ageMs = scala.util.Try(
           System.currentTimeMillis - Files.getLastModifiedTime(mp).toMillis).getOrElse(Long.MaxValue)
         val resumable = (claimant.nonEmpty && claimant == writerId) || ageMs >= orphanClaimTtlMs
@@ -193,8 +240,8 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
         // past every earlier gate and its move landed last, this handle must
         // LOSE (rebase) rather than report a success whose files the
         // surviving manifest does not reference.
-        val winner = scala.util.Try(Manifest.fromJson(
-          new String(Files.readAllBytes(mp), StandardCharsets.UTF_8)).writerId).getOrElse("")
+        val winner = scala.util.Try(Manifest.writerIdOf(
+          new String(Files.readAllBytes(mp), StandardCharsets.UTF_8))).getOrElse("")
         if (winner != writerId)
           throw new SnapshotTable.ConcurrentCommitException(root, m.version,
             s" (post-publish verification: v${m.version} carries writer '$winner', " +
@@ -354,8 +401,41 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
         .map(_.stripPrefix("v").stripSuffix(".json").toLong).toSeq).sorted
     val retained = all.filter(v => v > cur - keepLast && v <= cur)
     val expired = all.filterNot(retained.contains)
+    // resolve BEFORE touching any manifest file (delta chains read parents)
     val keepFiles = retained.map(manifestAt).flatMap(_.files.map(_.path)).toSet
-    expired.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    // A retained DELTA manifest resolves through its parent chain up to
+    // the nearest checkpoint; those chain manifests must outlive their
+    // own snapshots' expiry (bounded: < manifestCheckpointEvery files).
+    // They move to manifests/chain/ — out of the version listing, so an
+    // expired-but-chain-kept version still fails time travel fast — and
+    // are GC'd here once no retained manifest references them. Their DATA
+    // files get no such retention: keepFiles comes from retained states
+    // only.
+    def chainOf(v: Long): List[Long] = {
+      val p = if (Files.exists(manifestPath(v))) manifestPath(v) else chainPath(v)
+      if (!Files.exists(p)) Nil
+      else Manifest.parentRefOf(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)) match {
+        case Some(parent) => parent :: chainOf(parent)
+        case None => Nil
+      }
+    }
+    val chainNeeded: Set[Long] = retained.flatMap(chainOf).toSet -- retained
+    if (chainNeeded.nonEmpty) Files.createDirectories(chainPath(0L).getParent)
+    expired.foreach { v =>
+      if (chainNeeded.contains(v)) {
+        if (!Files.exists(chainPath(v)))
+          Files.move(manifestPath(v), chainPath(v), StandardCopyOption.ATOMIC_MOVE)
+        else Files.deleteIfExists(manifestPath(v))
+      } else Files.deleteIfExists(manifestPath(v))
+    }
+    // stale chain files (no retained manifest resolves through them)
+    if (Files.exists(chainPath(0L).getParent)) {
+      graft.util.Tables.listClosed(chainPath(0L).getParent)(
+        _.map(_.getFileName.toString).filter(_.startsWith("v"))
+          .map(_.stripPrefix("v").stripSuffix(".json").toLong).toSeq)
+        .filterNot(chainNeeded.contains)
+        .foreach(v => Files.deleteIfExists(chainPath(v)))
+    }
     var dataDeleted = 0
     val dataRoot = rootPath.resolve("data")
     if (Files.exists(dataRoot)) {
@@ -514,6 +594,13 @@ object SnapshotTable {
     * two-file-write window, so a minute of silence is conclusive.
     */
   val DefaultOrphanClaimTtlMs: Long = 60000L
+
+  /** Every Nth version writes a FULL (checkpoint) manifest; the versions
+    * between delta-encode their file lists against the parent. Bounds
+    * both the reader's resolution chain and how long an expired delta's
+    * manifest must be chain-retained.
+    */
+  val DefaultCheckpointEvery: Int = 16
 
   /** Another writer committed this version first (optimistic-concurrency
     * loss): re-read the table and rebase the merge onto the new current.
