@@ -243,6 +243,41 @@ object CdcOps extends QueryPack {
       work
     }
 
+  private val cdfBuilt = new Tables.FingerprintMemo[String](d =>
+    scala.util.Try(Tables.deleteRecursively(d)))
+
+  /** Change-feed fixture (q82): v1 = all inserts; v2 = one mixed epoch —
+    * did%4==1 updates (transformed tokens), did%4==2 deletes, did%4==3
+    * inserts of NEW docs ("n"+did). The feed between v1 and v2 must
+    * carry exactly those net ops with the right pre/post images.
+    */
+  private def cdfFor(s: SparkSession, dir: String): String =
+    cdfBuilt.getOrElseUpdate(dir,
+      s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
+      val work = Tables.newWorkDir("graft-cdf").toString
+      val t = new SnapshotTable(s"$work/table", 8)
+      val inserts = changelog(s, dir).filter(col("op") === "I")
+      t.ensureInitialized(inserts.schema)
+      MergeEngine.merge(s, t, inserts, "cdf", 0L) // v1
+      val did = col("doc_id").cast("long")
+      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val base = 3L * maxDid + 3L
+      val upd = inserts.filter(pmod(did, lit(4L)) === 1)
+        .withColumn("tokens", transform(col("tokens"), tt => (tt * 31 + 7) % V))
+        .withColumn("lsn", lit(base) + did)
+        .withColumn("op", lit("U"))
+      val del = inserts.filter(pmod(did, lit(4L)) === 2)
+        .withColumn("tokens", lit(null).cast("array<int>"))
+        .withColumn("n_tok", lit(null).cast("int"))
+        .withColumn("lsn", lit(base) + did)
+        .withColumn("op", lit("D"))
+      val ins = inserts.filter(pmod(did, lit(4L)) === 3)
+        .withColumn("lsn", lit(base) + did)
+        .withColumn("doc_id", concat(lit("n"), col("doc_id")))
+      MergeEngine.merge(s, t, upd.unionByName(del).unionByName(ins), "cdf", 1L) // v2
+      work
+    }
+
   private val purged = new Tables.FingerprintMemo[String](d =>
     scala.util.Try(Tables.deleteRecursively(d)))
 
@@ -277,7 +312,7 @@ object CdcOps extends QueryPack {
     */
   private[graft] def reset(): Unit = {
     replayed.clear(); sinkBuilt.clear(); scd2Built.clear(); compacted.clear()
-    purged.clear(); wapBuilt.clear(); saltedBuilt.clear()
+    purged.clear(); wapBuilt.clear(); saltedBuilt.clear(); cdfBuilt.clear()
   }
 
   /** The 5-epoch chunking of the changelog, including the duplicate
@@ -664,6 +699,26 @@ object CdcOps extends QueryPack {
         .orderBy("tok")
     },
 
+    // The table as a CHANGE SOURCE (Delta CDF / Iceberg changelog-scan
+    // analog): "what changed between snapshot A and B" with net per-key
+    // ops and pre/post images, sourced from the window's MOR delta files
+    // — O(changes + touched buckets), never a two-state diff. Pre-images
+    // come from bucket-pruned reads of the FROM snapshot; windows
+    // crossing compaction/COW/purge refuse loudly (ChangeFeedSpec) so
+    // the feed can never under-report. This is what makes a graft table
+    // composable as the SOURCE of a downstream CDC pipeline.
+    "q82_change_feed" -> { (s, dir) =>
+      import s.implicits._
+      val work = cdfFor(s, dir)
+      val t = new SnapshotTable(s"$work/table", 8)
+      ChangeFeed.between(s, t, 1L, 2L)
+        .select($"doc_id", $"change_op",
+          md5(array_join($"pre_image.tokens".cast("array<string>"), ",")).as("pre_fp"),
+          md5(array_join($"post_image.tokens".cast("array<string>"), ",")).as("post_fp"),
+          $"post_image.n_tok".as("n_tok"))
+        .orderBy("doc_id")
+    },
+
     // Hot-key skew under the external gate (SURVEY J7's storm side): the
     // salted two-phase pre-combine — dedup layer 2, the lever for zipf-
     // hot keys whose update storms would otherwise all travel the
@@ -847,6 +902,32 @@ object CdcOps extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q50_cdc_replay" -> replayStateSql,
     "q61_writer_api_state" -> replayStateSql,
+
+    // The same feed from the rules: U/D/I per did%4 with independent
+    // pre/post fingerprints.
+    "q82_change_feed" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
+         |    list_transform(
+         |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+         |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
+         |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks
+         |  FROM documents),
+         |pre AS (
+         |  SELECT doc_id, did,
+         |    md5(array_to_string(base_toks, ',')) AS fp,
+         |    md5(array_to_string(
+         |      list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT)), ',')) AS fp2,
+         |    CAST(len(base_toks) AS INT) AS n_tok
+         |  FROM toks)
+         |SELECT doc_id, change_op, pre_fp, post_fp, n_tok FROM (
+         |  SELECT doc_id, 'U' AS change_op, fp AS pre_fp, fp2 AS post_fp, n_tok
+         |  FROM pre WHERE did % 4 = 1
+         |  UNION ALL
+         |  SELECT doc_id, 'D', fp, NULL, NULL FROM pre WHERE did % 4 = 2
+         |  UNION ALL
+         |  SELECT 'n' || doc_id, 'I', NULL, fp, n_tok FROM pre WHERE did % 4 = 3)
+         |ORDER BY doc_id""".stripMargin,
 
     // Insert-only state (no deletes in this fixture) with storm winners
     // at the computed max storm LSN — last-LSN-wins through the salted
