@@ -719,6 +719,29 @@ object CdcOps extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // The STREAMING build of the same change feed: readStream.format
+    // ("graft") tails committed snapshot versions (offsets = versions,
+    // each micro-batch = one window's ChangeFeed), here replayed
+    // AvailableNow over the q82 fixture — one oracle, two engine paths
+    // (batch ChangeFeed.between and the streaming source must agree
+    // row-for-row). Checkpoint-resume and loud-maintenance-window laws
+    // are ScalaTest'd in GraftStreamSourceSpec.
+    "q83_stream_change_feed" -> { (s, dir) =>
+      import s.implicits._
+      val work = cdfFor(s, dir)
+      val q = s.readStream.format("graft")
+        .option("startVersion", 1L).load(s"$work/table")
+        .writeStream.format("memory").queryName("q83_feed")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q83_feed")
+        .select($"doc_id", $"change_op",
+          md5(array_join($"pre_image.tokens".cast("array<string>"), ",")).as("pre_fp"),
+          md5(array_join($"post_image.tokens".cast("array<string>"), ",")).as("post_fp"),
+          $"post_image.n_tok".as("n_tok"))
+        .orderBy("doc_id")
+    },
+
     // Hot-key skew under the external gate (SURVEY J7's storm side): the
     // salted two-phase pre-combine — dedup layer 2, the lever for zipf-
     // hot keys whose update storms would otherwise all travel the
@@ -904,30 +927,10 @@ object CdcOps extends QueryPack {
     "q61_writer_api_state" -> replayStateSql,
 
     // The same feed from the rules: U/D/I per did%4 with independent
-    // pre/post fingerprints.
-    "q82_change_feed" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
-         |    list_transform(
-         |      list_filter(string_split(text, ' '), w -> length(w) > 0),
-         |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
-         |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks
-         |  FROM documents),
-         |pre AS (
-         |  SELECT doc_id, did,
-         |    md5(array_to_string(base_toks, ',')) AS fp,
-         |    md5(array_to_string(
-         |      list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT)), ',')) AS fp2,
-         |    CAST(len(base_toks) AS INT) AS n_tok
-         |  FROM toks)
-         |SELECT doc_id, change_op, pre_fp, post_fp, n_tok FROM (
-         |  SELECT doc_id, 'U' AS change_op, fp AS pre_fp, fp2 AS post_fp, n_tok
-         |  FROM pre WHERE did % 4 = 1
-         |  UNION ALL
-         |  SELECT doc_id, 'D', fp, NULL, NULL FROM pre WHERE did % 4 = 2
-         |  UNION ALL
-         |  SELECT 'n' || doc_id, 'I', NULL, fp, n_tok FROM pre WHERE did % 4 = 3)
-         |ORDER BY doc_id""".stripMargin,
+    // pre/post fingerprints. Shared by q82 (batch) and q83 (streaming):
+    // both engine paths must reproduce the identical feed.
+    "q82_change_feed" -> cdfFeedSql,
+    "q83_stream_change_feed" -> cdfFeedSql,
 
     // Insert-only state (no deletes in this fixture) with storm winners
     // at the computed max storm LSN — last-LSN-wins through the salted
@@ -1138,6 +1141,33 @@ object CdcOps extends QueryPack {
          |FROM (SELECT unnest(tokens) AS tok FROM tokarr)
          |GROUP BY tok ORDER BY tok""".stripMargin
   )
+
+  /** Feed oracle shared by q82 (batch ChangeFeed) and q83 (streaming
+    * source): U/D/I per did%4 with independent pre/post fingerprints.
+    */
+  private lazy val cdfFeedSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
+       |    list_transform(
+       |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+       |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
+       |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks
+       |  FROM documents),
+       |pre AS (
+       |  SELECT doc_id, did,
+       |    md5(array_to_string(base_toks, ',')) AS fp,
+       |    md5(array_to_string(
+       |      list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT)), ',')) AS fp2,
+       |    CAST(len(base_toks) AS INT) AS n_tok
+       |  FROM toks)
+       |SELECT doc_id, change_op, pre_fp, post_fp, n_tok FROM (
+       |  SELECT doc_id, 'U' AS change_op, fp AS pre_fp, fp2 AS post_fp, n_tok
+       |  FROM pre WHERE did % 4 = 1
+       |  UNION ALL
+       |  SELECT doc_id, 'D', fp, NULL, NULL FROM pre WHERE did % 4 = 2
+       |  UNION ALL
+       |  SELECT 'n' || doc_id, 'I', NULL, fp, n_tok FROM pre WHERE did % 4 = 3)
+       |ORDER BY doc_id""".stripMargin
 
   /** The toks+vers CTE block shared by the SCD2 oracles (q64/q68/q73
     * full history, q75 point-in-time).

@@ -65,9 +65,43 @@ import graft.cdc.{MergeEngine, Model, SnapshotTable}
   *     mode you can trip into.
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `readStream.format("graft")`: the table as a streaming CHANGE
+    * source — offsets are snapshot versions, each micro-batch is the
+    * change feed of the version window (net ops + pre/post images from
+    * the window's delta files). `option("startVersion", v)` replays from
+    * v; default is the current version at first start (new changes
+    * only). See [[org.apache.spark.sql.graft.GraftStreamSource]].
+    */
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty, "graft stream source derives its schema from the table")
+    val path = parameters.getOrElse("path",
+      sys.error("graft stream source requires a path: readStream.format(\"graft\").load(dir)"))
+    ("graft", org.apache.spark.sql.graft.GraftStreamSource.feedSchema(new SnapshotTable(path)))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val path = parameters.getOrElse("path",
+      sys.error("graft stream source requires a path: readStream.format(\"graft\").load(dir)"))
+    val table = new SnapshotTable(path)
+    val startVersion = parameters.get("startVersion").map(_.toLong)
+      .getOrElse(table.currentVersion.getOrElse(0L))
+    new org.apache.spark.sql.graft.GraftStreamSource(
+      sqlContext, table, startVersion,
+      org.apache.spark.sql.graft.GraftStreamSource.feedSchema(table))
+  }
 
   /** `writeStream.format("graft")`: each micro-batch is a fenced merge
     * with `epochId = batchId` — checkpoint-recovered re-deliveries no-op
