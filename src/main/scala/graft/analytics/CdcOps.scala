@@ -278,6 +278,41 @@ object CdcOps extends QueryPack {
       work
     }
 
+  private val chainBuilt = new Tables.FingerprintMemo[String](d =>
+    scala.util.Try(Tables.deleteRecursively(d)))
+
+  /** Chained-tables fixture (q84): table B follows table A by consuming
+    * A's STREAMING change feed through the public source and writing it
+    * back through the public fenced sink — the full composability loop
+    * (ingest → table → incremental consumer → table). Feed rows map to
+    * change events (I/U upsert the post-image, D deletes); B's reconcile
+    * replays them under the same last-LSN-wins algebra, so B's state
+    * must equal A's.
+    */
+  private def chainFor(s: SparkSession, dir: String): String =
+    chainBuilt.getOrElseUpdate(dir,
+      s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
+      val aWork = cdfFor(s, dir)
+      val work = Tables.newWorkDir("graft-chain").toString
+      val q = s.readStream.format("graft")
+        .option("startVersion", 0L).load(s"$aWork/table")
+        .select(
+          col("lsn"), lit(0).as("partition"),
+          when(col("change_op") === "D", lit("D")).otherwise(lit("U")).as("op"),
+          col("doc_id"),
+          col("post_image.tokens").as("tokens"),
+          col("post_image.n_tok").as("n_tok"),
+          col("post_image.source").as("source"),
+          lit(null).cast("timestamp").as("ts"))
+        .writeStream.format("graft")
+        .option("path", s"$work/table")
+        .option("queryId", "chain").option("numBuckets", "8")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      work
+    }
+
   private val purged = new Tables.FingerprintMemo[String](d =>
     scala.util.Try(Tables.deleteRecursively(d)))
 
@@ -313,6 +348,7 @@ object CdcOps extends QueryPack {
   private[graft] def reset(): Unit = {
     replayed.clear(); sinkBuilt.clear(); scd2Built.clear(); compacted.clear()
     purged.clear(); wapBuilt.clear(); saltedBuilt.clear(); cdfBuilt.clear()
+    chainBuilt.clear()
   }
 
   /** The 5-epoch chunking of the changelog, including the duplicate
@@ -742,6 +778,26 @@ object CdcOps extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // The full CDC composability loop under one external gate: table B
+    // follows table A by consuming A's streaming change feed
+    // (readStream.format("graft"), offsets = A's snapshot versions) and
+    // writing it back through the public fenced sink
+    // (writeStream.format("graft")) — ingest → table → incremental
+    // consumer → table, the chain a multi-stage training-data lake runs.
+    // The driver gate checks B's FINAL STATE equals the independently
+    // recomputed survivor state of A's two epochs: every link (feed
+    // correctness, op mapping, fenced replay, last-LSN-wins reconcile)
+    // must hold for the hash to land.
+    "q84_chained_tables" -> { (s, dir) =>
+      import s.implicits._
+      val work = chainFor(s, dir)
+      new SnapshotTable(s"$work/table", 8).read(s)
+        .select($"doc_id",
+          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
+          $"n_tok", $"source")
+        .orderBy("doc_id")
+    },
+
     // Hot-key skew under the external gate (SURVEY J7's storm side): the
     // salted two-phase pre-combine — dedup layer 2, the lever for zipf-
     // hot keys whose update storms would otherwise all travel the
@@ -931,6 +987,31 @@ object CdcOps extends QueryPack {
     // both engine paths must reproduce the identical feed.
     "q82_change_feed" -> cdfFeedSql,
     "q83_stream_change_feed" -> cdfFeedSql,
+
+    // B's state after following A's feed = A's state after the two cdf
+    // epochs, recomputed from the rules alone.
+    "q84_chained_tables" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
+         |    list_transform(
+         |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+         |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
+         |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks,
+         |    source
+         |  FROM documents)
+         |SELECT doc_id, tokens_fp, n_tok, source FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN did % 4 = 1
+         |      THEN md5(array_to_string(
+         |        list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT)), ','))
+         |      ELSE md5(array_to_string(base_toks, ',')) END AS tokens_fp,
+         |    CAST(len(base_toks) AS INT) AS n_tok, source
+         |  FROM toks WHERE did % 4 <> 2
+         |  UNION ALL
+         |  SELECT 'n' || doc_id, md5(array_to_string(base_toks, ',')),
+         |    CAST(len(base_toks) AS INT), source
+         |  FROM toks WHERE did % 4 = 3)
+         |ORDER BY doc_id""".stripMargin,
 
     // Insert-only state (no deletes in this fixture) with storm winners
     // at the computed max storm LSN — last-LSN-wins through the salted
