@@ -313,6 +313,36 @@ object CdcOps extends QueryPack {
       work
     }
 
+  private val evoBuilt = new Tables.FingerprintMemo[String](d =>
+    scala.util.Try(Tables.deleteRecursively(d)))
+
+  /** Merge-path schema-evolution fixture (q85): epoch 0 inserts under the
+    * v1 wire schema (n_tok int); epoch 1 updates did%3==0 docs under a
+    * WIDENED+EXTENDED schema (n_tok bigint, new `lang` column) — the
+    * north-star's "new columns / widened n_tok" case, through the MERGE
+    * itself (not the analytics union): old files keep their physical
+    * schema and conform on read, old rows surface lang = NULL.
+    */
+  private def evoFor(s: SparkSession, dir: String): String =
+    evoBuilt.getOrElseUpdate(dir,
+      s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
+      val work = Tables.newWorkDir("graft-evo").toString
+      val t = new SnapshotTable(s"$work/table", 8)
+      val inserts = changelog(s, dir).filter(col("op") === "I")
+      t.ensureInitialized(inserts.schema)
+      MergeEngine.merge(s, t, inserts, "evo", 0L)
+      val did = col("doc_id").cast("long")
+      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val upd = inserts.filter(pmod(did, lit(3L)) === 0)
+        .withColumn("tokens", transform(col("tokens"), tt => (tt * 31 + 7) % V))
+        .withColumn("n_tok", col("n_tok").cast("bigint"))
+        .withColumn("lsn", lit(3L * maxDid + 3L) + did)
+        .withColumn("op", lit("U"))
+        .withColumn("lang", concat(lit("en-"), pmod(did, lit(7L)).cast("string")))
+      MergeEngine.merge(s, t, upd, "evo", 1L)
+      work
+    }
+
   private val purged = new Tables.FingerprintMemo[String](d =>
     scala.util.Try(Tables.deleteRecursively(d)))
 
@@ -348,7 +378,7 @@ object CdcOps extends QueryPack {
   private[graft] def reset(): Unit = {
     replayed.clear(); sinkBuilt.clear(); scd2Built.clear(); compacted.clear()
     purged.clear(); wapBuilt.clear(); saltedBuilt.clear(); cdfBuilt.clear()
-    chainBuilt.clear()
+    chainBuilt.clear(); evoBuilt.clear()
   }
 
   /** The 5-epoch chunking of the changelog, including the duplicate
@@ -798,6 +828,35 @@ object CdcOps extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // Additive schema evolution THROUGH THE MERGE under the external
+    // gate (the north star's "new columns / widened n_tok" clause): an
+    // epoch arrives with n_tok widened int→bigint and a brand-new lang
+    // column; the committed schema widens, files written before the
+    // evolution keep their physical schema and CONFORM ON READ (cast +
+    // null backfill — no rewrite of old data), and the final state must
+    // hash-match the rules. Engine booleans assert the widened schema
+    // and that pre-evolution files were left untouched.
+    "q85_schema_evolution_merge" -> { (s, dir) =>
+      import s.implicits._
+      val work = evoFor(s, dir)
+      val t = new SnapshotTable(s"$work/table", 8)
+      val m = t.manifest.get
+      val sch = org.apache.spark.sql.types.DataType.fromJson(m.currentSchemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val widened = sch("n_tok").dataType ==
+        org.apache.spark.sql.types.LongType && sch.fieldNames.contains("lang")
+      val v1 = t.manifestAt(1L).files.map(f => f.path -> f.schemaId).toMap
+      val byPath = m.files.map(f => f.path -> f.schemaId).toMap
+      val oldIntact = v1.forall { case (p, sid) => byPath.get(p).contains(sid) }
+      t.read(s)
+        .select($"doc_id",
+          md5(array_join($"tokens".cast("array<string>"), ",")).as("tokens_fp"),
+          $"n_tok", $"source", $"lang")
+        .withColumn("schema_widened", lit(widened))
+        .withColumn("old_files_untouched", lit(oldIntact))
+        .orderBy("doc_id")
+    },
+
     // Hot-key skew under the external gate (SURVEY J7's storm side): the
     // salted two-phase pre-combine — dedup layer 2, the lever for zipf-
     // hot keys whose update storms would otherwise all travel the
@@ -987,6 +1046,29 @@ object CdcOps extends QueryPack {
     // both engine paths must reproduce the identical feed.
     "q82_change_feed" -> cdfFeedSql,
     "q83_stream_change_feed" -> cdfFeedSql,
+
+    // Post-evolution state from the rules: did%3==0 docs carry the
+    // transformed tokens and a lang; everyone else keeps v1 values with
+    // lang NULL. n_tok is BIGINT on both sides (the widened type).
+    "q85_schema_evolution_merge" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS doc_id,
+         |    list_transform(
+         |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+         |      w -> CAST((length(w) * 1000003 + ascii(substring(w, 1, 1)) * 101
+         |                 + ascii(substring(w, length(w), 1))) % $V AS INT)) AS base_toks,
+         |    source
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN did % 3 = 0
+         |    THEN md5(array_to_string(
+         |      list_transform(base_toks, t -> CAST((t * 31 + 7) % $V AS INT)), ','))
+         |    ELSE md5(array_to_string(base_toks, ',')) END AS tokens_fp,
+         |  CAST(len(base_toks) AS BIGINT) AS n_tok, source,
+         |  CASE WHEN did % 3 = 0 THEN 'en-' || CAST(did % 7 AS VARCHAR) END AS lang,
+         |  true AS schema_widened,
+         |  true AS old_files_untouched
+         |FROM toks ORDER BY doc_id""".stripMargin,
 
     // B's state after following A's feed = A's state after the two cdf
     // epochs, recomputed from the rules alone.
