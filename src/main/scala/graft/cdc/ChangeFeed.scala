@@ -78,12 +78,17 @@ object ChangeFeed {
         (payloadCols.filterNot(_ == Model.KeyCol) ++ Seq("lsn", "op"))
           .map(n => col(s"e.$n").as(n)): _*)
 
-    // pre-images: FROM-state rows of the buckets the window touched
+    // pre-images: FROM-state rows of the buckets the window touched,
+    // CONFORMED to the TO schema (a feed across a schema evolution
+    // surfaces pre-images under the evolved shape — widened casts, new
+    // columns null — so pre/post structs always align)
     val dirty: Set[Int] = newDeltas.flatMap(_.coveredBuckets(mFrom.numBuckets)).toSet
     val preEntries = mFrom.files.filter(f => dirty.exists(f.covers))
-    val pre = table.readResolved(spark, mFrom, preEntries)
+    val preRaw = table.readResolved(spark, mFrom, preEntries)
       .filter(SnapshotTable.bucketOf(col(Model.KeyCol), mFrom.numBuckets)
         .isin(dirty.toSeq: _*))
+    val pre = preRaw.select(
+      SnapshotTable.conformColumns(preRaw.schema, payload): _*)
 
     feedShape(net, pre, payloadCols)
   }

@@ -57,6 +57,27 @@ class ChangeFeedSpec extends SparkSpec {
     assert(applied === to, "feed ∘ from-state must equal to-state")
   }
 
+  test("a feed across a schema evolution conforms pre-images to the evolved shape") {
+    val t = new SnapshotTable(tmpDir("cdf-evo").resolve("t").toString, 4)
+    t.init(Model.tokenDocSchema)
+    MergeEngine.merge(spark, t,
+      (0 until 10).map(i => ev(i.toLong, s"k$i", Seq(i))).toDF(cols: _*), "q", 0L) // v1
+    // the evolving epoch: widened n_tok + new lang column
+    val evolved = Seq((100L, 0, "U", "k1", Seq(11), 1L, "web",
+      null.asInstanceOf[java.sql.Timestamp], "en"))
+      .toDF("lsn", "partition", "op", "doc_id", "tokens", "n_tok", "source", "ts", "lang")
+    MergeEngine.merge(spark, t, evolved, "q", 1L)                                  // v2
+
+    val feed = ChangeFeed.between(spark, t, 1L, 2L)
+      .select($"doc_id", $"change_op",
+        $"pre_image.lang".as("pre_lang"), $"post_image.lang".as("post_lang"),
+        $"pre_image.n_tok".as("pre_n"), $"post_image.n_tok".as("post_n"))
+      .as[(String, String, String, String, java.lang.Long, java.lang.Long)]
+      .collect()
+    assert(feed.toSeq === Seq(("k1", "U", null, "en", 1L, 1L)),
+      s"pre-image must conform to the evolved schema (lang null, n_tok widened): ${feed.toSeq}")
+  }
+
   test("a window crossing compaction or COW refuses loudly") {
     val t = new SnapshotTable(tmpDir("cdf-ref").resolve("t").toString, 4)
     t.init(Model.tokenDocSchema)
