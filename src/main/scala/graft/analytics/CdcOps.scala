@@ -29,6 +29,17 @@ object CdcOps extends QueryPack {
 
   private val V = 50257
 
+  private val timing = sys.env.get("GRAFT_CDCOPS_TIMING").contains("1")
+  private def timed[A](label: String)(a: => A): A = {
+    if (!timing) a
+    else {
+      val t0 = System.nanoTime()
+      val r = a
+      println(f"[cdcops-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
   /** Tokenize a text column: split on spaces, drop empties, hash words. */
   private def tokenize(text: Column): Column = {
     val words = filter(split(text, " "), w => length(w) > 0)
@@ -86,6 +97,35 @@ object CdcOps extends QueryPack {
   private[analytics] case class Replay(table: SnapshotTable, quarantineDir: String,
       work: String)
 
+  /** The deterministic changelog, tokenized ONCE per (session, documents
+    * fingerprint) and persisted: every fixture builder (replay, writer-API,
+    * WAP, salted, CDF, chain, evolution, purge, compaction, SCD2) derives
+    * from the same event stream, and each was re-running the full
+    * tokenize-and-derive pipeline plus its own persist — ~8 redundant
+    * corpus scans per bench pass (guide §1.2: don't compute things twice).
+    * Cleared by [[reset]] like every other fixture memo, so each bench
+    * pass re-pays the build exactly once.
+    */
+  private val logMemo = new Tables.FingerprintMemo[DataFrame](df =>
+    scala.util.Try { df.unpersist(); () })
+  private def changelogCached(s: SparkSession, dir: String): DataFrame =
+    logMemo.getOrElseUpdate(dir,
+      s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
+      val df = changelog(s, dir).persist()
+      df.count() // materialize now: every consumer reads the cache
+      df
+    }
+
+  /** max(doc_id), computed once per (session, fingerprint) — a dozen
+    * call sites each ran their own tiny aggregation job over `documents`.
+    */
+  private val maxDidMemo = new Tables.FingerprintMemo[Long](_ => ())
+  private def maxDidFor(s: SparkSession, dir: String): Long =
+    maxDidMemo.getOrElseUpdate(dir,
+      s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
+      Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+    }
+
   /** Memoized per documents fingerprint + session (regenerated data or a
     * restarted session rebuilds; the superseded work dir is deleted).
     */
@@ -138,19 +178,14 @@ object CdcOps extends QueryPack {
       Files.createDirectories(logDir)
       val t0 = System.currentTimeMillis()
       val log = {
-        val full = changelog(s, dir)
+        val full = changelogCached(s, dir)
         full.filter(IngestJob.validExpr(full))
-      }.persist()
-      try {
-        val maxLsn = log.agg(max("lsn")).head().getLong(0)
-        val chunk = maxLsn / 10 + 1
-        (0 until 10).foreach { k =>
-          ChangelogGen.writeSingleFile(
-            log.filter(col("lsn") >= k * chunk && col("lsn") < (k + 1) * chunk)
-              .orderBy("lsn"),
-            logDir, f"chunk-$k%05d.parquet", Some(t0 + k * 1000L))
-        }
-      } finally log.unpersist()
+      }
+      val maxLsn = log.agg(max("lsn")).head().getLong(0)
+      val chunk = maxLsn / 10 + 1
+      ChangelogGen.writeChunkedLog(
+        log.withColumn("_chunk", floor(col("lsn") / chunk).cast("long")), logDir,
+        k => f"chunk-$k%05d.parquet", t0, expected = (0L until 10L))
       val table = IngestJob.replay(s, IngestJob.Config(
         logDir = logDir.toString, tableDir = s"$work/table",
         checkpointDir = s"$work/ckpt", maxFilesPerTrigger = Some(1),
@@ -179,12 +214,12 @@ object CdcOps extends QueryPack {
       val work = Tables.newWorkDir("graft-wap").toString
       val t = new graft.cdc.SnapshotTable(s"$work/table", 8)
       val log = {
-        val full = changelog(s, dir)
+        val full = changelogCached(s, dir)
         full.filter(IngestJob.validExpr(full))
-      }.persist()
+      }
       var cleanPassed = 0
       var poisonRejected = false
-      try epochBatches(s, dir, log).foreach { case (k, batch) =>
+      epochBatches(s, dir, log).foreach { case (k, batch) =>
         t.ensureInitialized(batch.schema)
         val staged = Wap.stage(s, t, batch, "wap", k)
         val report = Wap.audit(s, t, staged)
@@ -202,7 +237,7 @@ object CdcOps extends QueryPack {
             badReport.failures.exists(_._1 == "n_tok_consistent")
           Wap.abandon(badStage)
         }
-      } finally log.unpersist()
+      }
       Files.write(Paths.get(s"$work/audit.log"),
         s"clean_passed=$cleanPassed\npoison_rejected=$poisonRejected\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -226,8 +261,8 @@ object CdcOps extends QueryPack {
       s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
       val work = Tables.newWorkDir("graft-salted").toString
       val t = new SnapshotTable(s"$work/table", 8)
-      val inserts = changelog(s, dir).filter(col("op") === "I")
-      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val inserts = changelogCached(s, dir).filter(col("op") === "I")
+      val maxDid = maxDidFor(s, dir)
       val base = 3L * maxDid + 3L
       val storm = inserts
         .filter(pmod(col("doc_id").cast("long"), lit(50L)) === 0)
@@ -256,11 +291,11 @@ object CdcOps extends QueryPack {
       s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
       val work = Tables.newWorkDir("graft-cdf").toString
       val t = new SnapshotTable(s"$work/table", 8)
-      val inserts = changelog(s, dir).filter(col("op") === "I")
+      val inserts = changelogCached(s, dir).filter(col("op") === "I")
       t.ensureInitialized(inserts.schema)
       MergeEngine.merge(s, t, inserts, "cdf", 0L) // v1
       val did = col("doc_id").cast("long")
-      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val maxDid = maxDidFor(s, dir)
       val base = 3L * maxDid + 3L
       val upd = inserts.filter(pmod(did, lit(4L)) === 1)
         .withColumn("tokens", transform(col("tokens"), tt => (tt * 31 + 7) % V))
@@ -328,11 +363,11 @@ object CdcOps extends QueryPack {
       s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
       val work = Tables.newWorkDir("graft-evo").toString
       val t = new SnapshotTable(s"$work/table", 8)
-      val inserts = changelog(s, dir).filter(col("op") === "I")
+      val inserts = changelogCached(s, dir).filter(col("op") === "I")
       t.ensureInitialized(inserts.schema)
       MergeEngine.merge(s, t, inserts, "evo", 0L)
       val did = col("doc_id").cast("long")
-      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val maxDid = maxDidFor(s, dir)
       val upd = inserts.filter(pmod(did, lit(3L)) === 0)
         .withColumn("tokens", transform(col("tokens"), tt => (tt * 31 + 7) % V))
         .withColumn("n_tok", col("n_tok").cast("bigint"))
@@ -378,7 +413,7 @@ object CdcOps extends QueryPack {
   private[graft] def reset(): Unit = {
     replayed.clear(); sinkBuilt.clear(); scd2Built.clear(); compacted.clear()
     purged.clear(); wapBuilt.clear(); saltedBuilt.clear(); cdfBuilt.clear()
-    chainBuilt.clear(); evoBuilt.clear()
+    chainBuilt.clear(); evoBuilt.clear(); logMemo.clear(); maxDidMemo.clear()
   }
 
   /** The 5-epoch chunking of the changelog, including the duplicate
@@ -388,7 +423,7 @@ object CdcOps extends QueryPack {
     */
   private def epochBatches(s: SparkSession, dir: String,
       log: DataFrame): Seq[(Int, DataFrame)] = {
-    val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+    val maxDid = maxDidFor(s, dir)
     val chunk = maxDid / 4 + 1
     (0 until 5).map { k =>
       val lo = k * chunk; val hi = (k + 1) * chunk
@@ -414,17 +449,17 @@ object CdcOps extends QueryPack {
       s"${s.sparkContext.applicationId}|${Tables.fingerprint(dir, "documents")}") {
       val work = Tables.newWorkDir("graft-sinkq61").toString
       val tableDir = s"$work/table"
-      // persist across the epoch loop: each epoch would otherwise re-run
-      // the full tokenize-and-derive pipeline (5× the changelog cost)
+      // the shared cached changelog backs every epoch read: each epoch
+      // would otherwise re-run the full tokenize-and-derive pipeline
       val log = {
-        val full = changelog(s, dir)
+        val full = changelogCached(s, dir)
         full.filter(IngestJob.validExpr(full))
-      }.persist()
-      try epochBatches(s, dir, log).foreach { case (k, batch) =>
+      }
+      epochBatches(s, dir, log).foreach { case (k, batch) =>
         batch.write.format("graft")
           .option("queryId", "writer-api").option("epochId", k)
           .mode(org.apache.spark.sql.SaveMode.Append).save(tableDir)
-      } finally log.unpersist()
+      }
       work
     }
 
@@ -435,7 +470,7 @@ object CdcOps extends QueryPack {
     */
   private def scd2History(s: SparkSession, dir: String): DataFrame = {
     val log = {
-      val full = changelog(s, dir)
+      val full = changelogCached(s, dir)
       full.filter(IngestJob.validExpr(full))
     }
     val withDups = log.unionByName(
@@ -450,19 +485,21 @@ object CdcOps extends QueryPack {
       val logDir = Paths.get(s"$work/log")
       Files.createDirectories(logDir)
       val t0 = System.currentTimeMillis()
-      val log = changelog(s, dir).persist()
-      try epochBatches(s, dir, log).foreach { case (k, batch) =>
-        ChangelogGen.writeSingleFile(
-          batch.orderBy("lsn"), logDir, f"chunk-$k%05d.parquet",
-          Some(t0 + k * 1000L))
-      } finally log.unpersist()
-      val table = IngestJob.replay(s, IngestJob.Config(
+      val log = changelogCached(s, dir)
+      timed("replay log-build") {
+        val tagged = epochBatches(s, dir, log)
+          .map { case (k, batch) => batch.withColumn("_chunk", lit(k.toLong)) }
+          .reduce(_.unionByName(_))
+        ChangelogGen.writeChunkedLog(tagged, logDir,
+          k => f"chunk-$k%05d.parquet", t0, expected = (0L until 5L))
+      }
+      val table = timed("replay ingest")(IngestJob.replay(s, IngestJob.Config(
         logDir = logDir.toString,
         tableDir = s"$work/table",
         checkpointDir = s"$work/ckpt",
         maxFilesPerTrigger = Some(1),
         numBuckets = 8,
-        quarantineDir = Some(s"$work/quarantine")))
+        quarantineDir = Some(s"$work/quarantine"))))
       Replay(table, s"$work/quarantine", work)
     }
 
@@ -535,7 +572,7 @@ object CdcOps extends QueryPack {
       import s.implicits._
       val t = replayFor(s, dir).table
       val m = t.manifest.get
-      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val maxDid = maxDidFor(s, dir)
       val minLsn = 3L * (maxDid / 2)
       t.readBuckets(s, (0 until m.numBuckets).toSet, minLsn)
         .select($"doc_id",
@@ -579,7 +616,7 @@ object CdcOps extends QueryPack {
     "q54_source_read" -> { (s, dir) =>
       import s.implicits._
       val r = replayFor(s, dir)
-      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val maxDid = maxDidFor(s, dir)
       val minLsn = 3L * (maxDid / 2)
       s.read.format("graft").load(r.table.root)
         .filter(col(Model.LsnCol) >= minLsn)
@@ -652,7 +689,7 @@ object CdcOps extends QueryPack {
     // incremental read anchors on.
     "q75_temporal_point_query" -> { (s, dir) =>
       import s.implicits._
-      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val maxDid = maxDidFor(s, dir)
       val L = 3 * (maxDid / 2)
       scd2History(s, dir)
         .filter($"valid_from_lsn" <= L &&
@@ -673,10 +710,10 @@ object CdcOps extends QueryPack {
     "q68_scd2_incremental" -> { (s, dir) =>
       import s.implicits._
       val log = {
-        val full = changelog(s, dir)
+        val full = changelogCached(s, dir)
         full.filter(IngestJob.validExpr(full))
       }
-      val maxDid = Tables.load(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val maxDid = maxDidFor(s, dir)
       val chunk = maxDid / 4 + 1
       // below-watermark filter = the ingest dedup's contract: epoch k's
       // applied events all sit at/above its chunk boundary. foldEpochs
@@ -723,7 +760,7 @@ object CdcOps extends QueryPack {
     // gate IS the IVM law (fold of deltas == aggregate of final state).
     "q72_ivm_token_counts" -> { (s, dir) =>
       import s.implicits._
-      val full = changelog(s, dir)
+      val full = changelogCached(s, dir)
       val log = full.filter(IngestJob.validExpr(full))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"lsn")

@@ -169,13 +169,23 @@ object Pipeline {
     val stgOrders = Tables.load(s, dir, "orders").select(
       $"o_orderkey".as("order_key"), $"o_custkey".as("cust_key"),
       $"o_orderstatus".as("status"), $"o_orderpriority".as("priority"))
+    val validPred = $"qty" > 0 && $"price" > 0 && $"ship_ts".isNotNull &&
+      $"disc".between(0.0, 1.0)
     if (gates) {
       // error tests + warn-severity uniqueness (reference trip_id dups,
-      // schema.yml:8) in ONE scan: approx dup signal via HLL by default,
-      // the exact groupBy only on request
-      timed("gate-staging")(Checks.gateOnePassApproxUnique("staging", stgLines,
+      // schema.yml:8) in ONE scan — and the intermediate layer's row
+      // tests fold into the SAME scan, conditioned on the validation
+      // predicate (a test on `validated` ≡ validPred && test on staging
+      // rows): two full lineitem scans become one. dbt runs one SELECT
+      // per layer; at 100 TB every saved corpus scan is the win
+      // (guide §1.2 "don't compute things twice").
+      timed("gate-staging+intermediate")(Checks.gateOnePassApproxUnique(
+        "staging+intermediate", stgLines,
         uniqueKey = Seq("order_key", "line_no"),
-        "not_null_order_key" -> col("order_key").isNull))
+        "not_null_order_key" -> col("order_key").isNull,
+        "positive_qty" -> (validPred && col("qty") <= 0),
+        "disc_in_range" -> (validPred && (col("disc") < 0.0 || col("disc") > 1.0)),
+        "accepted_return_flag" -> (validPred && !col("return_flag").isin("A", "N", "R"))))
       if (exactUniqueGate)
         Checks.gateWarn("staging",
           "unique_order_line" -> Checks.unique(stgLines, Seq("order_key", "line_no")))
@@ -183,15 +193,10 @@ object Pipeline {
 
     // ── intermediate (silver): validate + derive ────────────────────────
     val validated = stgLines
-      .filter($"qty" > 0 && $"price" > 0 && $"ship_ts".isNotNull &&
-        $"disc".between(0.0, 1.0))
+      .filter(validPred)
       .withColumn("ship_month", date_trunc("month", $"ship_ts").cast("date"))
       .withColumn("disc_price", $"price" * (lit(1.0) - $"disc"))
       .withColumn("charge", $"price" * (lit(1.0) - $"disc") * (lit(1.0) + $"tax"))
-    if (gates) timed("gate-intermediate")(Checks.gateOnePass("intermediate", validated,
-      "positive_qty" -> (col("qty") <= 0),
-      "disc_in_range" -> (col("disc") < 0.0 || col("disc") > 1.0),
-      "accepted_return_flag" -> !col("return_flag").isin("A", "N", "R")))
 
     // ── marts core (gold): the one-big-table, computed ONCE ────────────
     val n = Tables.load(s, dir, "nation")

@@ -103,6 +103,46 @@ object ChangelogGen {
     }
   }
 
+  /** Write a pre-tagged multi-chunk log in ONE Spark job: `df` carries a
+    * `_chunk` column; every chunk's rows hash to one task (repartition on
+    * `_chunk`), are locally sorted by (chunk, lsn), and land as exactly one
+    * file per chunk via partitionBy — then the driver moves each part file
+    * to `dir/nameOf(k)` with a strictly increasing mtime (arrival order,
+    * the WAL contract). Replaces K sequential `orderBy.coalesce(1)` writes
+    * (each a sample+sort+write job) with one shuffle-light job — the
+    * guide's "fewer jobs/fewer shuffles" shape for fixture builds; the
+    * per-file content is identical (chunk rows, lsn-ascending).
+    */
+  def writeChunkedLog(df: DataFrame, dir: Path, nameOf: Long => String,
+      t0: Long, expected: Seq[Long] = Seq.empty): Unit = {
+    val tmp = Files.createTempDirectory("graft-log-chunks")
+    df.repartition(col("_chunk"))
+      .sortWithinPartitions(col("_chunk"), col("lsn"))
+      .write.partitionBy("_chunk").mode("overwrite").parquet(tmp.toString)
+    val chunkDirs = Files.list(tmp).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("_chunk="))
+      .toSeq.sortBy(_.getFileName.toString.stripPrefix("_chunk=").toLong)
+    if (expected.nonEmpty) {
+      // an empty chunk writes no file at all — that would silently change
+      // the epoch count downstream fences/lineage depend on; fail loudly
+      val got = chunkDirs.map(_.getFileName.toString.stripPrefix("_chunk=").toLong).toSet
+      val missing = expected.filterNot(got.contains)
+      require(missing.isEmpty, s"writeChunkedLog: empty chunk(s) $missing — " +
+        "the log would have fewer files than epochs expected")
+    }
+    for (cd <- chunkDirs) {
+      val k = cd.getFileName.toString.stripPrefix("_chunk=").toLong
+      val part = Files.list(cd).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file written in $cd"))
+      val dest = dir.resolve(nameOf(k))
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + k * 1000L))
+    }
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(p => Try(Files.deleteIfExists(p)))
+  }
+
   /** Write a DataFrame as exactly one parquet file named `name` in `dir`
     * (so the log is a flat, ordered file sequence).
     */

@@ -274,8 +274,9 @@ object MergeEngine {
         // the batch (not on table contents), so a lost commit race rebases
         // by RE-POINTING these files at a higher version — no rewrite.
         val written = table.listDataFiles(outDir)
-        val newEntries = FileStats.entries(spark, written.map(path => (path, -1)), p.schemaId)
-          .map(_.copy(kind = FileEntry.Delta))
+        val newEntries = timed("file-stats")(
+          FileStats.entries(spark, written.map(path => (path, -1)), p.schemaId)
+            .map(_.copy(kind = FileEntry.Delta)))
         StagedMor(newEntries, p.newSchema, p.wmAdvances,
           EpochMetrics(queryId, epochId, p.eventsIn, p.belowWm,
             collapsedInBatch = 0,
@@ -348,7 +349,8 @@ object MergeEngine {
         spark.sparkContext.longAccumulator(s"upserts-$epochId"),
         spark.sparkContext.longAccumulator(s"deletes-$epochId"),
         spark.sparkContext.longAccumulator(s"rows-$epochId"))
-      val winners = Reconcile.winners(spark, unioned, m.numBuckets, writeSplits, Some(counters))
+      val winners = Reconcile.winners(spark, unioned, m.numBuckets, writeSplits,
+        Some(counters), rowsHint = table.rowsOf(liveEntries).map(_ + p.freshCount))
       val out = winners.select(
         newSchema.fieldNames.toSeq.map(col) ++
           Seq(col("lsn").as(Model.LsnCol), col("_bucket")): _*)
@@ -491,7 +493,8 @@ object MergeEngine {
     val dirty: Set[Int] = deltas.flatMap(_.coveredBuckets(m.numBuckets)).toSet
     val affected = m.files.filter(f => f.isDelta || dirty.contains(f.bucket))
     val rows = table.readEntries(spark, m, affected)
-    val winners = Reconcile.winners(spark, rows, m.numBuckets, writeSplits)
+    val winners = Reconcile.winners(spark, rows, m.numBuckets, writeSplits,
+      rowsHint = table.rowsOf(affected))
     val payload = DataType.fromJson(m.currentSchemaJson).asInstanceOf[StructType]
     val out = winners.select(
       payload.fieldNames.toSeq.map(col) ++
@@ -580,7 +583,8 @@ object MergeEngine {
     if (affected.isEmpty) return None
 
     val winners = Reconcile.winners(
-      spark, table.readEntries(spark, m, affected), m.numBuckets, writeSplits)
+      spark, table.readEntries(spark, m, affected), m.numBuckets, writeSplits,
+      rowsHint = table.rowsOf(affected))
     val kept = winners.join(broadcast(keys.select(col(keyCol)).distinct()),
       Seq(keyCol), "left_anti")
     val payload = DataType.fromJson(m.currentSchemaJson).asInstanceOf[StructType]

@@ -29,12 +29,21 @@ object Reconcile {
   case class Counters(
       upserts: LongAccumulator, deletes: LongAccumulator, rows: LongAccumulator)
 
+  /** Rows-per-reduce-task target for the adaptive partition count: with
+    * the ~100-400 B/row change-event payloads this engine shuffles, 2M
+    * rows ≈ a few hundred MB per task — the guide's §2.2 partition-size
+    * band. Only an upper-bound clamp ever derives from it (see below), so
+    * a mis-estimate can cost balance, never correctness.
+    */
+  private val RowsPerTask = 2000000L
+
   def winners(
       spark: SparkSession,
       df: DataFrame,
       numBuckets: Int,
       writeSplits: Int,
-      counters: Option[Counters] = None): DataFrame = {
+      counters: Option[Counters] = None,
+      rowsHint: Option[Long] = None): DataFrame = {
 
     val withBucket = df.withColumn("_bucket", SnapshotTable.bucketOf(col("doc_id"), numBuckets))
     // Partition count is over-provisioned 4x beyond the distinct
@@ -42,9 +51,21 @@ object Reconcile {
     // leaves ~1/e of them empty and gives the busiest task 3-4 keys'
     // worth of rows (balls-in-bins) — a 3-4x straggler tail on the one
     // shuffle this engine performs. With 4K partitions two keys rarely
-    // collide, so the tail is ~1 key. Empty partitions cost microseconds.
+    // collide, so the tail is ~1 key. Empty partitions cost microseconds
+    // at cluster scale — but at thousands of buckets a KNOWN-tiny input
+    // (manifest row counts, passed as rowsHint) would schedule thousands
+    // of empty tasks per reconcile: clamp the count to what the data
+    // volume supports (scale-ADAPTIVE, guide §2.2 — the provisioned count
+    // still applies whenever the hint is absent or the input is large).
+    val provisioned = numBuckets * writeSplits * 4
+    val parts = rowsHint match {
+      case Some(n) if n >= 0 =>
+        val byData = math.max(writeSplits.toLong, n / RowsPerTask + 1)
+        math.min(provisioned.toLong, byData).toInt
+      case _ => provisioned
+    }
     val arranged = withBucket
-      .repartition(numBuckets * writeSplits * 4, col("_bucket"),
+      .repartition(parts, col("_bucket"),
         pmod(xxhash64(col("doc_id"), lit(7L)), lit(writeSplits.toLong)))
       // 'U' > 'K' > 'I' > 'D' lexicographically — ties on lsn can only be
       // exact re-deliveries, where any winner carries the same payload

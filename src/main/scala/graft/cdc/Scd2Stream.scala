@@ -131,6 +131,17 @@ object Scd2Stream {
   private def openBucketDir(tableDir: String, epoch: Long, bucket: Int): String =
     s"$tableDir/open/epoch=$epoch/_b=$bucket"
 
+  private val timing = sys.env.get("GRAFT_SCD2_TIMING").contains("1")
+  private def timed[A](label: String)(a: => A): A = {
+    if (!timing) a
+    else {
+      val t0 = System.nanoTime()
+      val r = a
+      println(f"[scd2-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
   /** The current temporal table: all committed closed versions plus the
     * live open set, as ONE multi-path parquet relation (plan depth 1 —
     * the round-4 shape folded a `unionByName` per closed epoch, an
@@ -233,9 +244,9 @@ object Scd2Stream {
           val fresh = valid.filter(wmExpr)
           // ONE bounded action yields both the applied watermarks and the
           // touched-bucket set (≤ numPartitions rows on the driver)
-          val stats = fresh.groupBy(col(cfg.partitionCol))
+          val stats = timed(s"epoch-$epochId stats")(fresh.groupBy(col(cfg.partitionCol))
             .agg(max(col(cfg.ordCol)).as("w"), collect_set(bucket).as("bs"))
-            .collect()
+            .collect())
           val applied = stats.map(r => r.getInt(0) -> r.getLong(1)).toMap
           val touched: Set[Int] = stats.flatMap(_.getSeq[Int](2)).toSet
           val bucketEpochs = meta.map(_.buckets).getOrElse(Map.empty[Int, Long])
@@ -244,18 +255,28 @@ object Scd2Stream {
           // the open rows it can close
           val priorPaths = touched.toSeq.sorted
             .flatMap(b => bucketEpochs.get(b).map(e => openBucketDir(cfg.tableDir, e, b)))
+          // cluster by bucket BEFORE the two writes: the raw merge plan
+          // carries the window shuffle's partitioning (shuffle.partitions
+          // tasks), so a partitionBy("_b") write from it fans out into
+          // tasks × touched-buckets tiny files — which the NEXT epoch's
+          // prior-open read (and the final multi-path table read) pays for
+          // again. One repartition on _b makes every open bucket exactly
+          // one file (guide §6 small-files / §2.4 one exchange shared by
+          // both writes); per-bucket open sets are bounded by bucket count
+          // scaling at production, so the single-task-per-bucket write
+          // cannot skew unboundedly.
           val merged = (priorPaths match {
             case Nil => Scd2.fromChangelog(fresh, cfg.keyCols, cfg.ordCol)
             case ps => Scd2.merge(spark.read.schema(sch).parquet(ps: _*),
               fresh, cfg.keyCols, cfg.ordCol)
-          }).persist()
+          }).withColumn("_b", bucket).repartition(col("_b")).persist()
           try {
-            merged.filter(!col("is_current"))
-              .write.mode("overwrite").parquet(s"${cfg.tableDir}/closed/epoch=$epochId")
-            merged.filter(col("is_current"))
-              .withColumn("_b", bucket)
+            timed(s"epoch-$epochId closed-write")(merged.filter(!col("is_current"))
+              .drop("_b")
+              .write.mode("overwrite").parquet(s"${cfg.tableDir}/closed/epoch=$epochId"))
+            timed(s"epoch-$epochId open-write")(merged.filter(col("is_current"))
               .write.partitionBy("_b").mode("overwrite")
-              .parquet(s"${cfg.tableDir}/open/epoch=$epochId")
+              .parquet(s"${cfg.tableDir}/open/epoch=$epochId"))
             // a touched bucket with no surviving open rows leaves no dir
             // (all its keys deleted) — drop it from the map entirely
             val emptied = touched.filterNot(b =>

@@ -478,7 +478,8 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
     val (dirtyFiles, cleanFiles) =
       entries.partition(f => f.isDelta || dirty.contains(f.bucket))
     val reconciled = Reconcile
-      .winners(spark, readEntries(spark, m, dirtyFiles), m.numBuckets, writeSplits = 4)
+      .winners(spark, readEntries(spark, m, dirtyFiles), m.numBuckets, writeSplits = 4,
+        rowsHint = rowsOf(dirtyFiles))
       .select(outCols: _*)
     if (cleanFiles.isEmpty) reconciled
     else reconciled.unionByName(readEntries(spark, m, cleanFiles).select(outCols: _*))
@@ -502,6 +503,13 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
       .filter(SnapshotTable.bucketOf(col("doc_id"), m.numBuckets).isin(buckets.toSeq: _*))
       .filter(col(Model.LsnCol) >= minLsn)
   }
+
+  /** Manifest-recorded row total of a file set for Reconcile's adaptive
+    * partition count; None when any entry's footer stats were unreadable
+    * (rows == -1) — the conservative over-provisioned count then applies.
+    */
+  private[cdc] def rowsOf(entries: Seq[FileEntry]): Option[Long] =
+    if (entries.forall(_.rows >= 0)) Some(entries.map(_.rows).sum) else None
 
   /** The file-skipping core of [[readBuckets]], exposed for tests. */
   private[cdc] def pruneEntries(m: Manifest, buckets: Set[Int], minLsn: Long): Seq[FileEntry] =

@@ -53,13 +53,29 @@ object ConnectedComponents {
       // its own lookup table (left join: a min label may already be final
       // and thus absent as a key only when the graph is empty — keep the
       // coalesce for safety, it costs nothing)
+      // the change flag rides the SAME checkpointed plan (prev label
+      // joined in before materialization), so detecting convergence is a
+      // scan of the checkpoint instead of a fresh id-keyed join job per
+      // round — one shuffle fewer per iteration
       val jumped = stepped
         .join(stepped.select($"id".as("lbl"), $"lbl".as("jlbl")), Seq("lbl"), "left")
         .select($"id", coalesce($"jlbl", $"lbl").as("lbl"))
+        .join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .select($"id", $"lbl", ($"lbl" =!= $"prev").as("chg"))
         .localCheckpoint()
-      changed = jumped.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter($"lbl" =!= $"prev").count()
-      labels = jumped
+      changed = jumped.filter($"chg").count()
+      // STATS RESET, not just lineage truncation: a checkpointed Dataset
+      // carries its ORIGIN plan's sizeInBytes estimate forward, and each
+      // round's joins multiply those estimates — the per-round size
+      // estimate grows as S^3 per iteration, so by round ~15 the planner
+      // is multiplying BigIntegers with millions of digits and a single
+      // localCheckpoint takes longer than the job (observed: driver
+      // pinned in SizeInBytesOnlyStatsPlanVisitor/BigInteger.multiply).
+      // Rebuilding the frame from the checkpointed RDS gives the next
+      // round a fresh default estimate; cost is one Row pass over the
+      // label table it just materialized anyway.
+      val ck = jumped.select($"id", $"lbl")
+      labels = s.createDataFrame(ck.rdd, ck.schema)
       round += 1
     }
     sym.unpersist()
