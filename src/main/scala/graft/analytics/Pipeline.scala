@@ -95,7 +95,12 @@ object Pipeline {
       */
     def gateOnePassApproxUnique(layer: String, df: DataFrame,
         uniqueKey: Seq[String], tests: (String, Column)*): Long = {
-      val key = concat_ws("", uniqueKey.map(c => col(c).cast("string")): _*)
+      // HLL hashes its input anyway — feed it the codegen'd 64-bit hash
+      // of the key columns instead of materializing a concatenated string
+      // per row (a per-row allocation on the hottest full scan). A 64-bit
+      // pre-hash collision at warehouse-key cardinalities is far below
+      // the HLL's own 1% rsd.
+      val key = xxhash64(uniqueKey.map(col): _*)
       val aggs = Seq(
         count(lit(1)).as("__n_rows"),
         approx_count_distinct(key, 0.01).as("__n_keys")) ++

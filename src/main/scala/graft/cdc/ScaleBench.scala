@@ -64,7 +64,13 @@ object ScaleBench {
       /** True when the series stopped early because the caller's
         * wall-clock budget ran out (rounds completed so far are kept).
         */
-      deadlineHit: Boolean = false) {
+      deadlineHit: Boolean = false,
+      /** Envelope pre-probe disclosures, one line per round (round-5
+        * verdict ask: spend the round budget in calm windows, probe
+        * first; refused probes are evidence of the wave, so they are
+        * logged rather than silently absorbed).
+        */
+      probeLog: Seq[String] = Nil) {
     def toJson: String = {
       def r3(x: Double) = math.round(x * 1000) / 1000.0
       def jstr(s: String) =
@@ -87,7 +93,10 @@ object ScaleBench {
         if (failures.isEmpty) ""
         else s""","failed_rounds":${failures.map(jstr).mkString("[", ",", "]")}"""
       val deadlineJson = if (deadlineHit) s""","deadline_hit":true""" else ""
-      s"""{"events":$events,"valid_window_envelope":[$ValidWindowEnvelope,$ValidWindowEnvelopeHigh],"eps":$epsJson,"pairs":$pairsJson$failJson$deadlineJson}"""
+      val probeJson =
+        if (probeLog.isEmpty) ""
+        else s""","probe_log":${probeLog.map(jstr).mkString("[", ",", "]")}"""
+      s"""{"events":$events,"valid_window_envelope":[$ValidWindowEnvelope,$ValidWindowEnvelopeHigh],"eps":$epsJson,"pairs":$pairsJson$failJson$deadlineJson$probeJson}"""
     }
   }
 
@@ -306,14 +315,54 @@ object ScaleBench {
     // round cap so a persistently-broken environment terminates, and each
     // one is DISCLOSED in the output (an all-failed series must report
     // what failed per round, not collapse to one error string).
+    // Envelope PRE-PROBE (round-5 verdict ask #2): a full round costs
+    // minutes, and a throttle wave makes every ratio measured inside it
+    // unusable — so before spending a round, sample the headline pair's
+    // machine envelope (a few seconds) and wait, bounded, for a calm
+    // window. If calm never arrives the round still runs (a refused
+    // window is evidence and the gate flags it), but the budget is no
+    // longer burned blindly at whatever moment the queries finished.
+    val probeWaitNanos =
+      (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_WAIT_S", "75").toDouble * 1e9).toLong
+    def awaitCalmWindow(lo: Int, hi: Int): (Int, Boolean, Double) = {
+      val t0 = System.nanoTime()
+      var attempts = 0
+      var env = Double.NaN
+      var calm = false
+      var waited = false
+      while (!calm && !waited) {
+        attempts += 1
+        val el = machineEnvelope(lo)
+        val eh = machineEnvelope(hi)
+        env = (eh / el) / (hi.toDouble / lo)
+        calm = env >= ValidWindowEnvelope && env <= ValidWindowEnvelopeHigh
+        if (!calm) {
+          waited = pastDeadline || (System.nanoTime() - t0) >= probeWaitNanos
+          if (!waited) {
+            System.err.println(
+              f"[scale] envelope probe $env%.2f outside [$ValidWindowEnvelope, " +
+                f"$ValidWindowEnvelopeHigh] — waiting for a calm window")
+            Thread.sleep(15000L)
+          }
+        }
+      }
+      (attempts, calm, env)
+    }
     var rounds: Seq[Map[Int, (Double, Double)]] = Seq.empty
     var failures: Seq[String] = Seq.empty
+    var probeLog: Seq[String] = Seq.empty
     var rep = 0
     while ((rep < repeats || (rep < maxRounds && !headlineWindowSeen(rounds))) &&
         !pastDeadline) {
       rep += 1
       if (rep > repeats) System.err.println(
         s"[scale] no clean window in $repeats rounds — extending (round $rep/$maxRounds)")
+      if (ordered.size >= 2) {
+        val (attempts, calm, env) = awaitCalmWindow(ordered(0), ordered(1))
+        val line = f"round $rep: probe env=$env%.2f calm=$calm attempts=$attempts"
+        probeLog = probeLog :+ line
+        System.err.println(s"[scale] $line")
+      }
       scala.util.Try(oneRound(rep)) match {
         case scala.util.Success(r) => rounds = rounds :+ r
         case scala.util.Failure(e) =>
@@ -353,7 +402,7 @@ object ScaleBench {
     }.toSeq
     // free the work dir eagerly (tmpfs runs would otherwise pin RAM)
     scala.util.Try(graft.util.Tables.deleteRecursively(work))
-    Series(delivered, eps, pairs, failures, deadlineHit)
+    Series(delivered, eps, pairs, failures, deadlineHit, probeLog)
   }
 
   private def addTimingListeners(spark: SparkSession, cores: Int): Unit = {

@@ -255,40 +255,60 @@ object Scd2Stream {
           // the open rows it can close
           val priorPaths = touched.toSeq.sorted
             .flatMap(b => bucketEpochs.get(b).map(e => openBucketDir(cfg.tableDir, e, b)))
-          // cluster by bucket BEFORE the two writes: the raw merge plan
-          // carries the window shuffle's partitioning (shuffle.partitions
-          // tasks), so a partitionBy("_b") write from it fans out into
-          // tasks × touched-buckets tiny files — which the NEXT epoch's
-          // prior-open read (and the final multi-path table read) pays for
-          // again. One repartition on _b makes every open bucket exactly
-          // one file (guide §6 small-files / §2.4 one exchange shared by
-          // both writes); per-bucket open sets are bounded by bucket count
-          // scaling at production, so the single-task-per-bucket write
-          // cannot skew unboundedly.
+          // ONE clustered write for both halves of the epoch (guide §2.4
+          // "share the exchange", §6 small-files): the merged state is
+          // partitioned by a destination column — 'closed' vs 'open_<b>'
+          // — written once under a staging dir, and the driver MOVES each
+          // partition dir into the table layout (same-filesystem renames).
+          // This replaces the previous persist + two write jobs (whose
+          // partitionBy from the window shuffle's partitioning fanned out
+          // into tasks × touched-buckets tiny files) with a single
+          // repartition(_dest) + write: every open bucket lands as exactly
+          // one file, the closed set as one file per epoch, and the merge
+          // plan is evaluated exactly once with no cache churn. Per-bucket
+          // open sets are bounded by bucket count scaling at production,
+          // so the single-task-per-bucket write cannot skew unboundedly.
+          // Crash-safety is unchanged: data moves before the meta move,
+          // and readers only follow the committed meta.
           val merged = (priorPaths match {
             case Nil => Scd2.fromChangelog(fresh, cfg.keyCols, cfg.ordCol)
             case ps => Scd2.merge(spark.read.schema(sch).parquet(ps: _*),
               fresh, cfg.keyCols, cfg.ordCol)
-          }).withColumn("_b", bucket).repartition(col("_b")).persist()
-          try {
-            timed(s"epoch-$epochId closed-write")(merged.filter(!col("is_current"))
-              .drop("_b")
-              .write.mode("overwrite").parquet(s"${cfg.tableDir}/closed/epoch=$epochId"))
-            timed(s"epoch-$epochId open-write")(merged.filter(col("is_current"))
-              .write.partitionBy("_b").mode("overwrite")
-              .parquet(s"${cfg.tableDir}/open/epoch=$epochId"))
-            // a touched bucket with no surviving open rows leaves no dir
-            // (all its keys deleted) — drop it from the map entirely
-            val emptied = touched.filterNot(b =>
-              Files.exists(Paths.get(openBucketDir(cfg.tableDir, epochId, b))))
-            val newBuckets = (bucketEpochs ++ touched.map(_ -> epochId)) -- emptied
-            val newWms = (wms.keySet ++ applied.keySet).map(p =>
-              p -> math.max(wms.getOrElse(p, Long.MinValue),
-                applied.getOrElse(p, Long.MinValue))).toMap
-            // meta (fence + watermarks + bucket map) moves last — a crash
-            // before this point replays the epoch onto the old pointer
-            writeMeta(cfg.tableDir, Meta(epochId, newWms, newBuckets))
-          } finally merged.unpersist()
+          })
+          val staging = s"${cfg.tableDir}/_stage_epoch=$epochId"
+          timed(s"epoch-$epochId write")(merged
+            .withColumn("_dest",
+              when(col("is_current"), concat(lit("open_"), bucket.cast("string")))
+                .otherwise(lit("closed")))
+            .repartition(col("_dest"))
+            .write.partitionBy("_dest").mode("overwrite").parquet(staging))
+          // move staged partition dirs into the table layout; replayed
+          // epochs overwrite their own dirs (idempotent side channel)
+          val closedDir = Paths.get(s"${cfg.tableDir}/closed/epoch=$epochId")
+          val openEpochDir = Paths.get(s"${cfg.tableDir}/open/epoch=$epochId")
+          graft.util.Tables.deleteRecursively(closedDir.toString)
+          graft.util.Tables.deleteRecursively(openEpochDir.toString)
+          graft.util.Tables.listClosed(Paths.get(staging))(_.filter(p =>
+            p.getFileName.toString.startsWith("_dest=")).toSeq).foreach { d =>
+            val dest = d.getFileName.toString.stripPrefix("_dest=") match {
+              case "closed" => closedDir
+              case open => openEpochDir.resolve(s"_b=${open.stripPrefix("open_")}")
+            }
+            Files.createDirectories(dest.getParent)
+            Files.move(d, dest, StandardCopyOption.ATOMIC_MOVE)
+          }
+          graft.util.Tables.deleteRecursively(staging)
+          // a touched bucket with no surviving open rows leaves no dir
+          // (all its keys deleted) — drop it from the map entirely
+          val emptied = touched.filterNot(b =>
+            Files.exists(Paths.get(openBucketDir(cfg.tableDir, epochId, b))))
+          val newBuckets = (bucketEpochs ++ touched.map(_ -> epochId)) -- emptied
+          val newWms = (wms.keySet ++ applied.keySet).map(p =>
+            p -> math.max(wms.getOrElse(p, Long.MinValue),
+              applied.getOrElse(p, Long.MinValue))).toMap
+          // meta (fence + watermarks + bucket map) moves last — a crash
+          // before this point replays the epoch onto the old pointer
+          writeMeta(cfg.tableDir, Meta(epochId, newWms, newBuckets))
         } finally src.unpersist()
       }
       ()
