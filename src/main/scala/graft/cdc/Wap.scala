@@ -86,18 +86,26 @@ object Wap {
       case _ => None
     }
 
-  /** dbt-style gates against the staged epoch, O(batch + touched buckets):
+  /** dbt-style gates against the staged epoch, O(batch):
     *
     *  - `not_null_key` — no null doc_id in the staged rows;
-    *  - `n_tok_consistent` — upserts carry n_tok == size(tokens);
+    *  - `n_tok_consistent` — upserts carry n_tok == size(tokens),
+    *    null-safely: a row with tokens null (or n_tok null) on a
+    *    non-delete op is flagged rather than slipping through a
+    *    null-valued comparison;
     *  - `n_tok_in_range` — upserts carry 1 <= n_tok <= maxTok;
-    *  - `unique_key_post_publish` — reconciling the staged deltas into
-    *    their buckets yields at most one row per key (the reference's
-    *    dbt uniqueness test, but BEFORE readers can see a violation).
+    *  - `unique_key_same_lsn_conflict` — two staged rows at the same
+    *    (key, lsn) must be byte-identical re-deliveries (the at-least-once
+    *    transport contract); CONFLICTING payloads at one (key, lsn) would
+    *    make the reconcile winner an arbitrary pick. This replaces the
+    *    earlier post-publish-preview uniqueness count, which read through
+    *    the last-LSN-wins reconcile and therefore could never observe a
+    *    duplicate — a gate structurally unable to fire (and the audit's
+    *    most expensive pass: O(batch + touched buckets) per epoch).
     *
     * The three row checks fold into ONE conditional-count aggregation
     * over one scan of the staged rows (the Pipeline.Checks single-pass
-    * shape); uniqueness is one groupBy over the touched-bucket preview.
+    * shape); the conflict check is one groupBy over the same staged rows.
     */
   def audit(
       spark: SparkSession,
@@ -105,25 +113,27 @@ object Wap {
       staged: Staged,
       maxTok: Int = IngestJob.DefaultMaxTok): AuditReport = {
     val rowChecks = Seq("not_null_key", "n_tok_consistent", "n_tok_in_range")
-    val checked = rowChecks :+ "unique_key_post_publish"
+    val checked = rowChecks :+ "unique_key_same_lsn_conflict"
     stagedRows(spark, table, staged) match {
       case None => AuditReport(checked, Seq.empty) // nothing staged = nothing to gate
       case Some(rows) =>
         val upsert = col("op") =!= Model.OpDelete
         val counts = rows.agg(
           sum(when(col(Model.KeyCol).isNull, 1L).otherwise(0L)),
-          sum(when(upsert && (col("n_tok").isNull ||
+          sum(when(upsert && (col("tokens").isNull || col("n_tok").isNull ||
             col("n_tok") =!= size(col("tokens"))), 1L).otherwise(0L)),
           sum(when(upsert && !col("n_tok").between(1, maxTok), 1L).otherwise(0L))
         ).head()
         val rowFailures = rowChecks.zipWithIndex
           .map { case (name, i) => name -> (if (counts.isNullAt(i)) 0L else counts.getLong(i)) }
           .filter(_._2 > 0)
-        val dupKeys = preview(spark, table, staged).map(
-          _.groupBy(col(Model.KeyCol)).count().filter(col("count") > 1).count())
-          .getOrElse(0L)
+        val payload = rows.columns.filterNot(c => c == Model.KeyCol || c == "lsn")
+        val conflicts = rows
+          .groupBy(col(Model.KeyCol), col("lsn"))
+          .agg(countDistinct(struct(payload.map(col): _*)).as("__variants"))
+          .filter(col("__variants") > 1).count()
         val failures = rowFailures ++
-          (if (dupKeys > 0) Seq("unique_key_post_publish" -> dupKeys) else Nil)
+          (if (conflicts > 0) Seq("unique_key_same_lsn_conflict" -> conflicts) else Nil)
         AuditReport(checked, failures)
     }
   }

@@ -49,8 +49,22 @@ class GraftStreamSource(
     case other => other.json.toLong
   }
 
+  /** The payload schema the captured `feedSchema`'s image structs were
+    * built from — compared per batch against the window's committed
+    * schema so mid-stream evolution fails loudly (see [[getBatch]]).
+    */
+  private val originSchemaJson: String =
+    table.manifest.map(_.currentSchemaJson).getOrElse("")
+
+  /** Unconditional: the checkpoint (via `getBatch`'s start offset) is the
+    * authority on what has been consumed, and `getBatch` already no-ops
+    * on `fromV >= toV`. Filtering by `startVersion` here made a RESTARTED
+    * stream (whose createSource recomputed the default startVersion as
+    * the then-current version) report "no data" until some future commit
+    * — silently skipping everything committed while it was down.
+    */
   override def getOffset: Option[Offset] =
-    table.currentVersion.filter(_ > startVersion).map(LongOffset(_))
+    table.currentVersion.map(LongOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val spark = sqlContext.sparkSession.asInstanceOf[classic.SparkSession]
@@ -59,8 +73,21 @@ class GraftStreamSource(
     val batch: DataFrame =
       if (fromV >= toV) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], feedSchema)
-      else ChangeFeed.between(spark, table, fromV, toV)
-        .select(feedSchema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+      else {
+        // schema fence: ChangeFeed conforms rows to the TO-version schema,
+        // but this source declared `feedSchema` from the schema at stream
+        // start — stamping evolved rows onto the stale layout would
+        // silently misread columns. Fail loudly instead (Delta CDF makes
+        // the same demand: restart the stream after schema evolution).
+        val toSchema = table.manifestAt(toV).currentSchemaJson
+        if (toSchema != originSchemaJson)
+          throw new IllegalStateException(
+            s"graft stream source at ${table.root}: table schema evolved " +
+              s"between stream start and version $toV — restart the stream " +
+              "so the feed schema picks up the new columns")
+        ChangeFeed.between(spark, table, fromV, toV)
+          .select(feedSchema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+      }
     spark.internalCreateDataFrame(
       batch.queryExecution.toRdd, feedSchema, isStreaming = true)
   }

@@ -62,6 +62,61 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(second === Seq(("k99", "I")), s"resume must read only the new window, got $second")
   }
 
+  test("crash-restart without startVersion consumes commits made while down") {
+    // the default startVersion ("current at first start") must only apply
+    // when no checkpoint exists: a restarted stream resumes from its
+    // checkpointed offset and must deliver every version committed while
+    // it was down, not stall until some future commit
+    val t = new SnapshotTable(tmpDir("gss-r").resolve("t").toString, 4)
+    t.init(Model.tokenDocSchema)
+    MergeEngine.merge(spark, t,
+      (0 until 5).map(i => ev(i.toLong, s"k$i", Seq(i))).toDF(cols: _*), "q", 0L) // v1
+    val ckpt = tmpDir("gss-r-ckpt").toString
+    def drain(): Seq[(String, String)] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val q = spark.readStream.format("graft").load(t.root) // NO startVersion
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got.synchronized {
+            got ++= df.select(col("doc_id"), col("change_op"))
+              .as[(String, String)].collect()
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      got.toSeq
+    }
+    assert(drain().isEmpty, "first start defaults to current version: no backlog")
+    // committed while the stream is down
+    MergeEngine.merge(spark, t, Seq(ev(50L, "kNew", Seq(7))).toDF(cols: _*), "q", 1L) // v2
+    assert(drain() === Seq(("kNew", "I")),
+      "restart must deliver the version committed while the stream was down")
+  }
+
+  test("mid-stream schema evolution fails the batch loudly") {
+    // a LONG-RUNNING source captures the feed schema at creation; a batch
+    // whose TO-version carries an evolved schema must fail loudly rather
+    // than stamp evolved image structs onto the stale layout
+    val t = new SnapshotTable(tmpDir("gss-e").resolve("t").toString, 4)
+    t.init(Model.tokenDocSchema)
+    MergeEngine.merge(spark, t,
+      (0 until 5).map(i => ev(i.toLong, s"k$i", Seq(i))).toDF(cols: _*), "q", 0L) // v1
+    val src = new org.apache.spark.sql.graft.GraftStreamSource(
+      spark.sqlContext, t, startVersion = 1L,
+      org.apache.spark.sql.graft.GraftStreamSource.feedSchema(t))
+    // evolve mid-stream: a new column arrives through the merge path
+    val evolved = Seq((10L, 0, Model.OpUpdate, "k1", Seq(101), 1, "web",
+      null.asInstanceOf[java.sql.Timestamp], "en"))
+      .toDF((cols :+ "lang"): _*)
+    MergeEngine.merge(spark, t, evolved, "q", 1L) // v2, evolved schema
+    val e = intercept[IllegalStateException](src.getBatch(None,
+      org.apache.spark.sql.execution.streaming.runtime.LongOffset(2L)))
+    assert(e.getMessage.contains("schema evolved"), e.getMessage)
+  }
+
   test("a window crossing maintenance fails the stream loudly") {
     val t = new SnapshotTable(tmpDir("gss-m").resolve("t").toString, 4)
     t.init(Model.tokenDocSchema)
