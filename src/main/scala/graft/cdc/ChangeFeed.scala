@@ -40,25 +40,19 @@ object ChangeFeed {
     val mFrom = table.manifestAt(fromV)
     val mTo = table.manifestAt(toV)
 
-    // walk the window; every step must be append-only MOR
+    // walk the window; every step must be append-only MOR. The step
+    // diffs come straight off the manifests' own delta/step annotations
+    // (`changesBetween`): O(epoch files) per version, no per-version
+    // full-manifest resolution on deep catch-up.
     var newDeltas = Vector.empty[FileEntry]
-    var v = toV
-    var child = mTo
-    while (v > fromV) {
-      val parentV = child.parentVersion
-      val parent = if (parentV == fromV) mFrom else table.manifestAt(parentV)
-      val parentPaths = parent.files.map(_.path).toSet
-      val removed = parentPaths -- child.files.map(_.path).toSet
-      val added = child.files.filterNot(f => parentPaths.contains(f.path))
+    for ((v, added, removed) <- table.changesBetween(fromV, toV)) {
       if (removed.nonEmpty || added.exists(!_.isDelta))
         throw new UnsupportedWindowException(
-          s"CDF window v$fromV..v$toV crosses a non-MOR commit at v${child.version} " +
+          s"CDF window v$fromV..v$toV crosses a non-MOR commit at v$v " +
             s"(${removed.size} files removed, ${added.count(!_.isDelta)} base files added) — " +
             "the delta files no longer tell the window's history; feed between " +
             "maintenance fences or fall back to a state diff")
       newDeltas ++= added
-      child = parent
-      v = parentV
     }
 
     val payload = DataType.fromJson(mTo.currentSchemaJson).asInstanceOf[StructType]

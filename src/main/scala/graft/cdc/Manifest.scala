@@ -157,23 +157,74 @@ object Manifest {
   def toJson(m: Manifest): String =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)
 
-  /** Delta-encode `m` against its parent's resolved state. Returns None
-    * (→ caller writes a full checkpoint) if any carried path's entry
-    * differs from the parent's — entries are immutable once committed,
-    * so this is a defensive invariant check, not an expected path.
+  /** (added entries, removed paths) of `m` against its resolved parent.
+    * None if any carried path's entry differs from the parent's —
+    * entries are immutable once committed, so this is a defensive
+    * invariant check, not an expected path.
     */
-  def toJsonDelta(m: Manifest, parent: Manifest): Option[String] = {
-    if (m.parentVersion != parent.version) return None
+  private def stepDiff(m: Manifest, parent: Manifest): Option[(Seq[FileEntry], Seq[String])] = {
     val parentByPath = parent.files.map(f => f.path -> f).toMap
     val added = m.files.filterNot(f => parentByPath.contains(f.path))
     val mPaths = m.files.map(_.path).toSet
     val removed = parent.files.map(_.path).filterNot(mPaths.contains)
     val carriedIntact = m.files.forall(f =>
       parentByPath.get(f.path).forall(_ == f))
-    if (!carriedIntact) None
-    else Some(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
-      DeltaManifest(m.version, m.parentVersion, m.numBuckets, m.schemas,
-        added, removed, m.fences, m.watermarks, m.metrics, m.writerId)))
+    if (!carriedIntact) None else Some((added, removed))
+  }
+
+  /** Delta-encode `m` against its parent's resolved state. Returns None
+    * (→ caller writes a full checkpoint) when the diff is not cleanly
+    * computable.
+    */
+  def toJsonDelta(m: Manifest, parent: Manifest): Option[String] = {
+    if (m.parentVersion != parent.version) return None
+    stepDiff(m, parent).map { case (added, removed) =>
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
+        DeltaManifest(m.version, m.parentVersion, m.numBuckets, m.schemas,
+          added, removed, m.fences, m.watermarks, m.metrics, m.writerId))
+    }
+  }
+
+  /** Full-checkpoint JSON annotated with the commit's OWN step diff
+    * (`stepAdded` / `stepRemoved`): a change-feed consumer walking a
+    * version window reads each commit's file changes straight off the
+    * manifest, O(epoch files) per version, instead of resolving every
+    * intermediate manifest to its full file list — without this, the
+    * one-in-`checkpointEvery` full manifests force an O(table files)
+    * chain resolution per checkpoint crossed. Falls back to the plain
+    * full form when the diff is not cleanly computable; readers that
+    * predate the annotation ignore the extra fields.
+    */
+  def toJsonCheckpoint(m: Manifest, parent: Option[Manifest]): String = {
+    val annotated = parent
+      .filter(_.version == m.parentVersion)
+      .flatMap(p => stepDiff(m, p))
+      .map { case (added, removed) =>
+        val node = mapper.valueToTree[com.fasterxml.jackson.databind.node.ObjectNode](m)
+        node.set[com.fasterxml.jackson.databind.JsonNode]("stepAdded", mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](added))
+        node.set[com.fasterxml.jackson.databind.JsonNode]("stepRemoved", mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](removed))
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+      }
+    annotated.getOrElse(toJson(m))
+  }
+
+  /** The commit's own step diff — (parentVersion, filesAdded,
+    * removedPaths) — read straight from a delta manifest or a
+    * step-annotated checkpoint WITHOUT resolving the parent chain. None
+    * when the manifest carries no step info (pre-annotation checkpoint,
+    * initial commit, defensive full write): the caller must fall back to
+    * diffing resolved states.
+    */
+  def stepChangesOf(s: String): Option[(Long, Seq[FileEntry], Seq[String])] = {
+    val node = mapper.readTree(s)
+    if (node.has("filesAdded")) {
+      val d = mapper.readValue(s, classOf[DeltaManifest])
+      Some((d.parentVersion, d.filesAdded, d.filesRemoved))
+    } else if (node.has("stepAdded")) {
+      val added = mapper.treeToValue(node.get("stepAdded"), classOf[Array[FileEntry]]).toSeq
+      val removed = mapper.treeToValue(node.get("stepRemoved"), classOf[Array[String]]).toSeq
+      Some((node.get("parentVersion").asLong, added, removed))
+    } else None
   }
 
   /** Cheap raw-field reads that must not require chain resolution (the

@@ -88,9 +88,16 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
     */
   private def chainPath(v: Long): Path = rootPath.resolve(s"manifests/chain/v$v.json")
 
+  /** Count of cache-miss full manifest resolutions by this handle —
+    * observability for the change-feed walk's "no per-version resolution
+    * on deep catch-up" contract (asserted in ChangeFeedSpec).
+    */
+  private[cdc] val fullResolutions = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def resolveVersion(v: Long, at: Path): Manifest = {
     val cached = resolvedCache.get(v)
     if (cached != null) return cached
+    fullResolutions.incrementAndGet()
     val m = Manifest.resolve(
       new String(Files.readAllBytes(at), StandardCharsets.UTF_8),
       parent => resolveVersion(parent,
@@ -104,6 +111,78 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
     // v > current can be replaced by an orphan reclaim)
     if (currentVersion.exists(_ >= v)) resolvedCache.put(v, m)
     m
+  }
+
+  /** File-level changes of every commit in (fromV, toV], NEWEST FIRST:
+    * (version, filesAdded, removedPaths). O(window's epoch files) driver
+    * work: delta manifests and step-annotated checkpoints carry their own
+    * step diff, so no intermediate manifest is resolved to its full file
+    * list — a consumer catching up over a deep window (10^4 versions of
+    * lag on a 10^5-file table) no longer pays O(lag × table files) set
+    * diffs. For wide windows the manifest bytes are fetched with ONE
+    * directory listing + parallel reads instead of per-version sequential
+    * stat+read round trips. Versions lacking step info (pre-annotation
+    * checkpoints, defensive full writes) fall back to a resolved diff
+    * against their parent — the annotation is an optimization, never a
+    * correctness dependency.
+    */
+  def changesBetween(fromV: Long, toV: Long): Seq[(Long, Seq[FileEntry], Seq[String])] = {
+    require(fromV <= toV, s"bad change window v$fromV..v$toV at $root")
+    val prefetched = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    if (toV - fromV > 8) {
+      import scala.jdk.CollectionConverters._
+      val dirStream = Files.list(rootPath.resolve("manifests"))
+      val wanted =
+        try dirStream.iterator().asScala.flatMap { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("v") && n.endsWith(".json"))
+            scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption
+              .filter(v => v > fromV && v <= toV).map(v => (v, p))
+          else None
+        }.toVector
+        finally dirStream.close()
+      if (wanted.nonEmpty) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, wanted.size))
+        try {
+          wanted.map { case (v, p) =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = {
+                prefetched.put(v, new String(Files.readAllBytes(p), StandardCharsets.UTF_8)); ()
+              }
+            })
+          }.foreach(_.get())
+        } finally pool.shutdown()
+      }
+    }
+    def pathOf(v: Long): Path =
+      if (Files.exists(manifestPath(v))) manifestPath(v)
+      else {
+        require(Files.exists(chainPath(v)),
+          s"no snapshot v$v at $root (expired or never committed)")
+        chainPath(v)
+      }
+    def rawOf(v: Long): String = {
+      val c = prefetched.get(v)
+      if (c != null) c
+      else new String(Files.readAllBytes(pathOf(v)), StandardCharsets.UTF_8)
+    }
+    val out = Vector.newBuilder[(Long, Seq[FileEntry], Seq[String])]
+    var v = toV
+    while (v > fromV) {
+      Manifest.stepChangesOf(rawOf(v)) match {
+        case Some((pv, added, removed)) =>
+          out += ((v, added, removed)); v = pv
+        case None =>
+          val child = resolveVersion(v, pathOf(v))
+          val parent = resolveVersion(child.parentVersion, pathOf(child.parentVersion))
+          val parentPaths = parent.files.map(_.path).toSet
+          val childPaths = child.files.map(_.path).toSet
+          out += ((v, child.files.filterNot(f => parentPaths.contains(f.path)),
+            parent.files.map(_.path).filterNot(childPaths.contains)))
+          v = child.parentVersion
+      }
+    }
+    out.result()
   }
 
   def schema: Option[StructType] =
@@ -180,7 +259,11 @@ class SnapshotTable(val root: String, val defaultNumBuckets: Int = 16,
     // checkpoint: the delta form is an optimization, never a correctness
     // dependency.
     val json =
-      if (m.parentVersion < 0 || m.version % manifestCheckpointEvery == 0) Manifest.toJson(m)
+      if (m.parentVersion < 0) Manifest.toJson(m)
+      else if (m.version % manifestCheckpointEvery == 0)
+        // checkpoints stay full (chain resolution bound) but carry their
+        // own step diff so change-feed walks never resolve them
+        Manifest.toJsonCheckpoint(m, scala.util.Try(manifestAt(m.parentVersion)).toOption)
       else scala.util.Try(manifestAt(m.parentVersion)).toOption
         .flatMap(p => Manifest.toJsonDelta(m, p))
         .getOrElse(Manifest.toJson(m))

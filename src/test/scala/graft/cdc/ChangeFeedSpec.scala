@@ -78,6 +78,52 @@ class ChangeFeedSpec extends SparkSpec {
       s"pre-image must conform to the evolved schema (lang null, n_tok widened): ${feed.toSeq}")
   }
 
+  test("deep catch-up window: step-annotated walk, no per-version resolution") {
+    val root = tmpDir("cdf-deep").resolve("t").toString
+    val t = new SnapshotTable(root, 4)
+    t.init(Model.tokenDocSchema)
+    // 24 epochs → v1..v24, crossing the v16 full-checkpoint manifest
+    (0 until 24).foreach { i =>
+      val batch = Seq(
+        ev(i * 10L, s"k$i", Seq(i)),
+        ev(i * 10L + 1, s"k${math.max(0, i - 1)}", Seq(i, i), Model.OpUpdate))
+      MergeEngine.merge(spark, t, batch.toDF(cols: _*), "q", i.toLong)
+    }
+
+    // A FRESH handle (cold manifest cache): after resolving only the two
+    // endpoint states — which any feed needs — the window walk itself
+    // must resolve NOTHING (delta manifests and the step-annotated v16
+    // checkpoint carry their own diffs), so deep catch-up is O(window
+    // epochs), not O(window × table files).
+    val t2 = new SnapshotTable(root, 4)
+    t2.manifestAt(24L); t2.manifestAt(1L)
+    val resolvesBefore = t2.fullResolutions.get
+    val steps = t2.changesBetween(1L, 24L)
+    assert(t2.fullResolutions.get === resolvesBefore,
+      "changesBetween must not resolve any intermediate manifest")
+    assert(steps.map(_._1) === (24L to 2L by -1L), "newest-first, one step per commit")
+
+    // law: the step diffs equal the resolved per-version diffs
+    val byResolve = (24L to 2L by -1L).map { v =>
+      val c = t2.manifestAt(v); val p = t2.manifestAt(v - 1)
+      val pp = p.files.map(_.path).toSet
+      val cp = c.files.map(_.path).toSet
+      (v, c.files.filterNot(f => pp(f.path)).toSet, p.files.map(_.path).filterNot(cp).toSet)
+    }
+    assert(steps.map(s => (s._1, s._2.toSet, s._3.toSet)) === byResolve)
+
+    // and the feed over the deep window still satisfies the replay law
+    val from = t2.readVersion(spark, 1L).select("doc_id", "tokens")
+      .as[(String, Seq[Int])].collect().toMap
+    val feed = ChangeFeed.between(spark, t2, 1L, 24L)
+    val applied = (from -- feed.filter($"change_op" === "D")
+        .select("doc_id").as[String].collect()) ++
+      feed.filter($"change_op" =!= "D")
+        .select($"doc_id", $"post_image.tokens".as("t")).as[(String, Seq[Int])].collect()
+    val to = t2.read(spark).select("doc_id", "tokens").as[(String, Seq[Int])].collect().toMap
+    assert(applied === to, "deep-window feed ∘ from-state must equal to-state")
+  }
+
   test("a window crossing compaction or COW refuses loudly") {
     val t = new SnapshotTable(tmpDir("cdf-ref").resolve("t").toString, 4)
     t.init(Model.tokenDocSchema)
