@@ -191,6 +191,31 @@ object ScaleBench {
         */
       deadlineNanos: Option[Long] = None): Series = {
     def pastDeadline = deadlineNanos.exists(System.nanoTime() >= _)
+    // Tail-margin guard (round-5 verdict ask #5): `pastDeadline` alone
+    // lets the LAST width start seconds before the deadline and run
+    // minutes past it — the bench artifact then records
+    // elapsed > deadline, and a driver with a hard kill at the deadline
+    // would truncate the artifact entirely. Don't START a width unless
+    // the remaining budget plausibly covers it: predicted cost = the
+    // longest width completed so far (widths run ascending, so the
+    // slowest, lowest-core width is measured first) plus a fixed
+    // allowance for session teardown + work-dir cleanup + JSON emit.
+    // Derived from observed durations, not a tuned constant; before any
+    // width completes only the teardown allowance applies (the caller
+    // already gates series START on its own reserve).
+    val teardownReserveNanos = 45L * 1000000000L
+    var longestWidthNanos = 0L
+    var marginStopped = false
+    def wouldOverrun: Boolean = deadlineNanos.exists { d =>
+      val over = System.nanoTime() + longestWidthNanos + teardownReserveNanos >= d
+      if (over) {
+        if (!marginStopped) System.err.println(
+          "[scale] remaining budget cannot fit another width " +
+            f"(longest so far ${longestWidthNanos / 1e9}%.0f s + teardown reserve) — stopping")
+        marginStopped = true
+      }
+      over
+    }
     workBase.foreach(Files.createDirectories(_))
     val work = workBase
       .map(b => Files.createTempDirectory(b, "graft-scale"))
@@ -246,7 +271,8 @@ object ScaleBench {
     def oneRound(rep: Int): Map[Int, (Double, Double)] = {
       // iterator: the deadline predicate must run right before EACH width
       // starts, not be pre-evaluated for the whole round
-      ordered.iterator.takeWhile(_ => !pastDeadline).map { c =>
+      ordered.iterator.takeWhile(_ => !wouldOverrun).map { c =>
+        val widthStart = System.nanoTime()
         val spark = tuned(c, workBase)
         val runId = java.util.UUID.randomUUID().toString.take(8)
         val (secs, rows) =
@@ -281,6 +307,7 @@ object ScaleBench {
         System.err.println(
           f"[scale] round $rep local[$c]: $secs%.1f s, ${delivered / secs}%.0f events/s, " +
             f"$rows rows, machine=$env%.1f units/s")
+        longestWidthNanos = math.max(longestWidthNanos, System.nanoTime() - widthStart)
         c -> (delivered / secs, env)
       }.toMap
     }
@@ -337,7 +364,7 @@ object ScaleBench {
         env = (eh / el) / (hi.toDouble / lo)
         calm = env >= ValidWindowEnvelope && env <= ValidWindowEnvelopeHigh
         if (!calm) {
-          waited = pastDeadline || (System.nanoTime() - t0) >= probeWaitNanos
+          waited = wouldOverrun || (System.nanoTime() - t0) >= probeWaitNanos
           if (!waited) {
             System.err.println(
               f"[scale] envelope probe $env%.2f outside [$ValidWindowEnvelope, " +
@@ -353,7 +380,7 @@ object ScaleBench {
     var probeLog: Seq[String] = Seq.empty
     var rep = 0
     while ((rep < repeats || (rep < maxRounds && !headlineWindowSeen(rounds))) &&
-        !pastDeadline) {
+        !wouldOverrun) {
       rep += 1
       if (rep > repeats) System.err.println(
         s"[scale] no clean window in $repeats rounds — extending (round $rep/$maxRounds)")
@@ -370,7 +397,7 @@ object ScaleBench {
           System.err.println(s"[scale] round $rep failed (dropped): ${e.getMessage}")
       }
     }
-    val deadlineHit = pastDeadline
+    val deadlineHit = pastDeadline || marginStopped
     if (deadlineHit) System.err.println(
       s"[scale] wall-clock budget exhausted after $rep rounds — reporting what completed")
 
